@@ -1,0 +1,200 @@
+"""Grid-space nonlinear dynamics tendencies and spectral linear tendencies.
+
+Re-design of the reference's `grtend` (src/dyn_grtend.f90) and `sptend`
+(src/dyn_sptend.f90) as pure, fully-batched functions: all per-level loops
+become leading-axis batches over kx so every transform runs as one fused
+einsum/FFT, and all vertical loops become cumulative sums / stacked slices.
+
+Grid arrays are (kx, il, ix); spectral arrays (kx, mx, nx) complex.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .state import PrognosticFields, Tendencies
+from .implicit import ImplicitCoefs, geopotential, implicit_correction
+
+
+class GridFields(NamedTuple):
+    """Grid-point view of one time level (inputs to physics)."""
+
+    ug: jnp.ndarray     # (kx, il, ix) zonal wind
+    vg: jnp.ndarray     # meridional wind
+    tg: jnp.ndarray     # temperature
+    trg: jnp.ndarray    # (ntr, kx, il, ix) tracers
+    vorg: jnp.ndarray   # relative vorticity
+    divg: jnp.ndarray   # divergence
+    psg: jnp.ndarray    # (il, ix) log surface pressure
+    phig: jnp.ndarray   # (kx, il, ix) geopotential
+
+
+def to_grid(dy, f: PrognosticFields, with_phi: bool = True) -> GridFields:
+    """Transform one time level to grid space (as dyn_grtend.f90:61-79 and
+    phy_phypar's own converts)."""
+    T = dy.T
+    vorg = T.spec_to_grid(f.vor)
+    divg = T.spec_to_grid(f.div)
+    tg = T.spec_to_grid(f.t)
+    trg = T.spec_to_grid(f.tr)
+    ucosm, vcosm = T.uvspec(f.vor, f.div)
+    ug = T.spec_to_grid(ucosm, kcos=2)
+    vg = T.spec_to_grid(vcosm, kcos=2)
+    psg = T.spec_to_grid(f.ps)
+    if with_phi:
+        phi = geopotential(f.t, dy.phis, dy.vg_jnp)
+        phig = T.spec_to_grid(phi)
+    else:
+        phig = jnp.zeros_like(tg)
+    return GridFields(ug=ug, vg=vg, tg=tg, trg=trg, vorg=vorg, divg=divg,
+                      psg=psg, phig=phig)
+
+
+def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
+           phys_fn: Optional[Callable] = None) -> Tendencies:
+    """Nonlinear grid-space tendencies -> spectral (dyn_grtend.f90:1-279).
+
+    fdyn: fields at the dynamics time level (j2); fphy: at the physics time
+    level (j1). phys_fn(dy, fphy_grid) must return grid-space tendency
+    increments (utend, vtend, ttend, trtend) to be added before the spectral
+    conversion (phy_phypar.f90 contract).
+    """
+    T = dy.T
+    dhs = dy.vg_jnp["dhs"]          # (kx,)
+    dhsr = dy.vg_jnp["dhsr"]
+    fsgr = dy.vg_jnp["fsgr"]
+    tref = dy.imp_main.tref          # (kx,) reference temperature (impint)
+    tref3 = dy.imp_main.tref3
+    akap = dy.akap
+    rgas = dy.rgas
+
+    # --- grid converts (batched over levels) ---
+    vorg = T.spec_to_grid(fdyn.vor)                    # (kx, il, ix)
+    divg = T.spec_to_grid(fdyn.div)
+    tg = T.spec_to_grid(fdyn.t)
+    trg = T.spec_to_grid(fdyn.tr)                      # (ntr, kx, il, ix)
+    ucosm, vcosm = T.uvspec(fdyn.vor, fdyn.div)
+    ug = T.spec_to_grid(ucosm, kcos=2)
+    vg = T.spec_to_grid(vcosm, kcos=2)
+
+    vorg_abs = vorg + dy.coriol[:, None]               # add planetary vorticity
+
+    w = dhs[:, None, None]
+    umean = jnp.sum(ug * w, axis=0)                    # (il, ix)
+    vmean = jnp.sum(vg * w, axis=0)
+    dmean = jnp.sum(divg * w, axis=0)
+
+    # --- log-ps tendency (dyn_grtend.f90:94-103) ---
+    pdx_s, pdy_s = T.grad(fdyn.ps)
+    px = T.spec_to_grid(pdx_s, kcos=2)
+    py = T.spec_to_grid(pdy_s, kcos=2)
+    psdt = T.grid_to_spec(-umean * px - vmean * py)
+    psdt = psdt.at[0, 0].set(0.0)
+
+    # --- vertical sigma velocity (dyn_grtend.f90:105-123) ---
+    puv = (ug - umean[None]) * px[None] + (vg - vmean[None]) * py[None]
+    # sigdt/sigm at interfaces: (kx+1, il, ix), index 0 = top
+    zero_iface = jnp.zeros_like(umean)[None]
+    sigdt = jnp.concatenate(
+        [zero_iface,
+         -jnp.cumsum(w * (puv + divg - dmean[None]), axis=0)], axis=0)
+    sigm = jnp.concatenate([zero_iface, -jnp.cumsum(w * puv, axis=0)], axis=0)
+
+    tgg = tg - tref[:, None, None]
+    rpx = rgas * px
+    rpy = rgas * py
+
+    def vadv(field):
+        """Interface vertical-advection terms -> per-level contribution
+        (temp(k)+temp(k+1))*dhsr(k) with temp(iface) = sigdt*(df across iface)."""
+        df = field[1:] - field[:-1]                            # (kx-1, il, ix)
+        iface = sigdt[1:-1] * df                               # interior ifaces
+        iface_full = jnp.concatenate([zero_iface, iface, zero_iface], axis=0)
+        return (iface_full[1:] + iface_full[:-1]) * dhsr[:, None, None]
+
+    # --- wind tendencies (dyn_grtend.f90:140-162) ---
+    utend = vg * vorg_abs - tgg * rpx - vadv(ug)
+    vtend = -ug * vorg_abs - tgg * rpy - vadv(vg)
+
+    # --- temperature tendency (dyn_grtend.f90:165-182) ---
+    dtgg = tgg[1:] - tgg[:-1]
+    dtref = tref[1:] - tref[:-1]
+    iface_t = sigdt[1:-1] * dtgg + sigm[1:-1] * dtref[:, None, None]
+    iface_t = jnp.concatenate([zero_iface, iface_t, zero_iface], axis=0)
+    ttend = (tgg * divg
+             - (iface_t[1:] + iface_t[:-1]) * dhsr[:, None, None]
+             + fsgr[:, None, None] * tgg * (sigdt[1:] + sigdt[:-1])
+             + tref3[:, None, None] * (sigm[1:] + sigm[:-1])
+             + akap * (tg * puv - tgg * dmean[None]))
+
+    # --- tracer tendencies (dyn_grtend.f90:187-217) ---
+    dtr = trg[:, 1:] - trg[:, :-1]                     # (ntr, kx-1, il, ix)
+    iface_tr = sigdt[None, 1:-1] * dtr
+    # no vertical advection between the top three layers (moisture; the
+    # reference zeroes interfaces k=2,3 i.e. interior ifaces 0,1 here)
+    iface_tr = iface_tr.at[:, 0:2].set(0.0)
+    zi = jnp.zeros_like(iface_tr[:, :1])
+    iface_tr = jnp.concatenate([zi, iface_tr, zi], axis=1)
+    trtend = (trg * divg[None]
+              - (iface_tr[:, 1:] + iface_tr[:, :-1]) * dhsr[None, :, None, None])
+
+    # --- physics (phy_phypar contract: adds to grid tendencies) ---
+    if phys_fn is not None:
+        du, dv, dtt, dtrt = phys_fn(dy, fphy)
+        utend = utend + du
+        vtend = vtend + dv
+        ttend = ttend + dtt
+        trtend = trtend + dtrt
+
+    # --- back to spectral (dyn_grtend.f90:233-277) ---
+    vordt, divdt = T.vdspec(utend, vtend, kcos=2)
+    ke = 0.5 * (ug * ug + vg * vg)
+    divdt = divdt - T.lap(T.grid_to_spec(ke))
+
+    _, tdt_flux = T.vdspec(-ug * tgg, -vg * tgg, kcos=2)
+    tdt = tdt_flux + T.grid_to_spec(ttend)
+
+    _, trdt_flux = T.vdspec(-ug[None] * trg, -vg[None] * trg, kcos=2)
+    trdt = trdt_flux + T.grid_to_spec(trtend)
+
+    return Tendencies(vordt=vordt, divdt=divdt, tdt=tdt, psdt=psdt, trdt=trdt)
+
+
+def sptend(dy, f: PrognosticFields, tend: Tendencies,
+           imp: ImplicitCoefs) -> Tendencies:
+    """Spectral linear tendencies (dyn_sptend.f90:27-66)."""
+    T = dy.T
+    dhs = dy.vg_jnp["dhs"]
+    dhsr = dy.vg_jnp["dhsr"]
+    kx = f.vor.shape[0]
+
+    dmeanc = jnp.sum(f.div * dhs[:, None, None], axis=0)      # (mx, nx)
+    psdt = tend.psdt - dmeanc
+    psdt = psdt.at[0, 0].set(0.0)
+
+    # sigma-dot at interfaces (only interior kx-1 accumulate; last stays 0)
+    incr = -(dhs[: kx - 1, None, None]
+             * (f.div[: kx - 1] - dmeanc[None]))
+    zero_iface = jnp.zeros_like(dmeanc)[None]
+    sigdtc = jnp.concatenate(
+        [zero_iface, jnp.cumsum(incr, axis=0), zero_iface], axis=0)
+
+    tref = imp.tref
+    dtref = tref[1:] - tref[:-1]
+    dumk = sigdtc[1:-1] * dtref[:, None, None]
+    dumk = jnp.concatenate([zero_iface, dumk, zero_iface], axis=0)
+
+    tdt = (tend.tdt
+           - (dumk[1:] + dumk[:-1]) * dhsr[:, None, None]
+           + imp.tref3[:, None, None] * (sigdtc[1:] + sigdtc[:-1])
+           - imp.tref2[:, None, None] * dmeanc[None])
+
+    # geopotential + RT*lap(ps) into divergence tendency
+    phi = geopotential(f.t, dy.phis, dy.vg_jnp)
+    dump = phi + dy.rgas * imp.tref[:, None, None] * f.ps[None]
+    divdt = tend.divdt - T.lap(dump)
+
+    return Tendencies(vordt=tend.vordt, divdt=divdt, tdt=tdt, psdt=psdt,
+                      trdt=tend.trdt)
