@@ -33,8 +33,8 @@ class Forcing(NamedTuple):
     """Date-dependent spectral correction fields (updated daily by fordate;
     reference mod_hdifcon.f90 tcorh/qcorh)."""
 
-    tcorh: jax.Array   # (mx, nx) complex
-    qcorh: jax.Array   # (mx, nx) complex
+    tcorh: jax.Array   # (mx, 2, nx) real-pair spectral
+    qcorh: jax.Array   # (mx, 2, nx)
 
 
 class Dycore:
@@ -51,22 +51,25 @@ class Dycore:
         self.tables = tables
         self.T = SpectralTransform(tables, dtype=dtype)
         self.vg = make_vertical_grid(config.kx)
-        self.vg_jnp = {k: jnp.asarray(getattr(self.vg, k), dtype=dtype)
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        # host (numpy) constants — embedded into jitted programs directly
+        self.vg_jnp = {k: np.asarray(getattr(self.vg, k), dtype=np_dtype)
                        for k in ("hsg", "dhs", "fsg", "dhsr", "fsgr",
                                   "xgeop1", "xgeop2")}
-        self.coriol = jnp.asarray(tables.coriol, dtype=dtype)
+        self.coriol = np.asarray(tables.coriol, dtype=np_dtype)
         self.akap = PHYS.akap
         self.rgas = PHYS.rgas
         self.sdrag = 1.0 / (DYN.tdrs * 3600.0)
 
         # surface geopotential: spec(grav*orog) truncated (ini_invars.f90:31-34)
+        # computed entirely host-side (numpy)
         if orog is None:
             orog = np.zeros((config.il, config.ix))
         phi0 = PHYS.grav * np.asarray(orog, dtype=np.float64)
-        phis = self.T.trunct(self.T.grid_to_spec(jnp.asarray(phi0, dtype)))
-        self.phis = phis.astype(self.cdtype)
-        self.phis0_grid = self.T.spec_to_grid(self.phis)   # truncated grid orography
-        self.orog_raw = jnp.asarray(phi0, dtype)           # full-resolution phi0
+        phis = self.T.host_trunct(self.T.host_grid_to_spec(phi0))
+        self.phis = np.asarray(phis, np_dtype)       # real layout (mx, 2, nx)
+        self.phis0_grid = np.asarray(self.T.host_spec_to_grid(phis), np_dtype)
+        self.orog_raw = np.asarray(phi0, np_dtype)
 
         # implicit + diffusion tables for the three dt values of the bootstrap
         dt2 = config.delt2
@@ -89,11 +92,12 @@ class Dycore:
         qcorv = np.zeros(config.kx)
         tcorv[1:] = fsg[1:] ** rgam
         qcorv[2:] = fsg[2:] ** qexp
-        self.tcorv = jnp.asarray(tcorv, dtype)
-        self.qcorv = jnp.asarray(qcorv, dtype)
+        self.tcorv = np.asarray(tcorv, np_dtype)
+        self.qcorv = np.asarray(qcorv, np_dtype)
 
     def zero_forcing(self) -> Forcing:
-        z = jnp.zeros((self.config.mx, self.config.nx), dtype=self.cdtype)
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        z = np.zeros((self.config.mx, 2, self.config.nx), dtype=np_dtype)
         return Forcing(tcorh=z, qcorh=z)
 
     # ------------------------------------------------------------------
@@ -105,7 +109,7 @@ class Dycore:
 
         vordt = hordif(vor0, tend.vordt, dif.dmp, dif.dmp1)
         divdt = hordif(div0, tend.divdt, dif.dmpd, dif.dmp1d)
-        ctmp = t0 + forcing.tcorh[None] * self.tcorv[:, None, None]
+        ctmp = t0 + forcing.tcorh[None] * self.tcorv[:, None, None, None]
         tdt = hordif(ctmp, tend.tdt, dif.dmp, dif.dmp1)
 
         # stratospheric zonal-mean drag on the top level (dyn_step.f90:78-82)
@@ -118,7 +122,8 @@ class Dycore:
         tdt = tdt.at[0].set(hordif(ctmp[0], tdt[0], dif.dmps, dif.dmp1s))
 
         # tracers: humidity (tracer 0) uses dmpd with orographic correction
-        qtmp = tr0.at[0].add(forcing.qcorh[None] * self.qcorv[:, None, None])
+        qtmp = tr0.at[0].add(forcing.qcorh[None]
+                             * self.qcorv[:, None, None, None])
         trdt = tend.trdt.at[0].set(
             hordif(qtmp[0], tend.trdt[0], dif.dmpd, dif.dmp1d))
         if cfg.ntr > 1:
@@ -140,12 +145,14 @@ class Dycore:
         return jnp.stack([f0, f1], axis=0)
 
     def step(self, state: SpectralState, forcing: Forcing, j1: int, j2: int,
-             dt_key: str, phys_fn: Optional[Callable] = None) -> SpectralState:
+             dt_key: str, phys_fn: Optional[Callable] = None):
         """One (forward or leapfrog) time step (dyn_step.f90:1-128).
 
         j1/j2 are 0-based time-level indices (reference's J1-1/J2-1):
           j1=0, j2=0: forward step; j1=0, j2=1: initial leapfrog;
           j1=1, j2=1: filtered leapfrog.
+
+        Returns the new state, or (state, extras) when phys_fn is given.
         """
         cfg = self.config
         imp = self._imp[dt_key]
@@ -153,7 +160,8 @@ class Dycore:
         dt = {"half": 0.5 * cfg.delt, "delt": cfg.delt,
               "delt2": cfg.delt2}[dt_key]
 
-        tend = grtend(self, state.at_level(j2), state.at_level(0), phys_fn)
+        tend, extras = grtend(self, state.at_level(j2), state.at_level(0),
+                              phys_fn)
         if cfg.alph == 0.0:
             tend = sptend(self, state.at_level(j2), tend, imp)
         else:
@@ -168,21 +176,28 @@ class Dycore:
         eps = 0.0 if j1 == 0 else cfg.rob
         wil = cfg.wil
         ti = functools.partial(self._timint, j1=j1, dt=dt, eps=eps, wil=wil)
-        return SpectralState(
+        new_state = SpectralState(
             vor=ti(state.vor, tend.vordt),
             div=ti(state.div, tend.divdt),
             t=ti(state.t, tend.tdt),
             ps=ti(state.ps, tend.psdt),
             tr=ti(state.tr, tend.trdt),
         )
+        if phys_fn is None:
+            return new_state
+        return new_state, extras
 
     # ------------------------------------------------------------------
     def stepone(self, state: SpectralState, forcing: Forcing,
-                phys_fn: Optional[Callable] = None) -> SpectralState:
+                phys_fn: Optional[Callable] = None):
         """Initial forward + leapfrog half-steps (ini_stepone.f90:14-31)."""
-        state = self.step(state, forcing, 0, 0, "half", phys_fn)
-        state = self.step(state, forcing, 0, 1, "delt", phys_fn)
-        return state
+        if phys_fn is None:
+            state = self.step(state, forcing, 0, 0, "half")
+            state = self.step(state, forcing, 0, 1, "delt")
+            return state
+        state, extras = self.step(state, forcing, 0, 0, "half", phys_fn)
+        state, extras = self.step(state, forcing, 0, 1, "delt", phys_fn)
+        return state, extras
 
     def make_scan_step(self, phys_fn: Optional[Callable] = None):
         """Returns a jittable f(state, forcing) for the main leapfrog loop."""

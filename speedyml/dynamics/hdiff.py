@@ -36,10 +36,12 @@ def build_diffusion(ntrun: int, mx: int, nx: int) -> DiffusionTables:
 
 
 class DiffusionCoefs:
-    """Device-resident damping coefficients for one dt (explicit + implicit)."""
+    """Damping coefficients for one dt, host (numpy) constants."""
 
     def __init__(self, tables: DiffusionTables, dt: float, dtype=jnp.float32):
-        as_r = lambda x: jnp.asarray(x, dtype=dtype)
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        # broadcast shape (mx, 1, nx) over the (re, im) spectral axis
+        as_r = lambda x: np.asarray(x, dtype=np_dtype)[:, None, :]
         self.dmp = as_r(tables.dmp)
         self.dmpd = as_r(tables.dmpd)
         self.dmps = as_r(tables.dmps)
@@ -49,6 +51,6 @@ class DiffusionCoefs:
 
 
 def hordif(field, fdt, dmp, dmp1):
-    """fdt <- (fdt - dmp*field) * dmp1 (dyn_step.f90:130-151); broadcasts
-    (mx,nx) coefficients over any leading level axes."""
+    """fdt <- (fdt - dmp*field) * dmp1 (dyn_step.f90:130-151); coefficients
+    are (mx, 1, nx), broadcasting over level axes and the (re, im) axis."""
     return (fdt - dmp * field) * dmp1

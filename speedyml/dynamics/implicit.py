@@ -106,11 +106,12 @@ def build_implicit(vg: VerticalGrid, dt: float, alph: float,
 
 
 class ImplicitCoefs:
-    """Device-resident implicit tables."""
+    """Implicit tables as host (numpy) constants (embedded at jit time)."""
 
     def __init__(self, tables: ImplicitTables, dtype=jnp.float32):
         self.dt = tables.dt
-        as_r = lambda x: jnp.asarray(x, dtype=dtype)
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        as_r = lambda x: np.asarray(x, dtype=np_dtype)
         self.tref = as_r(tables.tref)
         self.tref1 = as_r(tables.tref1)
         self.tref2 = as_r(tables.tref2)
@@ -125,28 +126,26 @@ class ImplicitCoefs:
 def implicit_correction(imp: ImplicitCoefs, divdt, tdt, psdt):
     """Implicit gravity-wave correction (dyn_implic.f90:27-67).
 
-    divdt, tdt: (kx, mx, nx) complex; psdt: (mx, nx) complex.
+    divdt, tdt: (kx, mx, 2, nx) real-pair spectral; psdt: (mx, 2, nx).
     """
     # ye(k) = sum_k1 xd(k,k1) tdt(k1) + tref1(k) * psdt
-    ye = jnp.einsum("kl,lmn->kmn", jnp.asarray(imp.xd, tdt.real.dtype), tdt)
-    ye = ye + imp.tref1[:, None, None] * psdt[None]
-    yf = divdt + imp.elz[None] * ye
+    ye = jnp.einsum("kl,lmcn->kmcn", imp.xd, tdt)
+    ye = ye + imp.tref1[:, None, None, None] * psdt[None]
+    yf = divdt + imp.elz[None, :, None, :] * ye
     # divdt(m,n,:) = xj(m,n) @ yf(m,n,:)
-    new_divdt = jnp.einsum("mnkl,lmn->kmn",
-                           jnp.asarray(imp.xj_mn, tdt.real.dtype), yf)
-    new_psdt = psdt - jnp.einsum("kmn,k->mn", new_divdt, imp.dhsx)
-    new_tdt = tdt + jnp.einsum("kl,lmn->kmn",
-                               jnp.asarray(imp.xc, tdt.real.dtype), new_divdt)
+    new_divdt = jnp.einsum("mnkl,lmcn->kmcn", imp.xj_mn, yf)
+    new_psdt = psdt - jnp.einsum("kmcn,k->mcn", new_divdt, imp.dhsx)
+    new_tdt = tdt + jnp.einsum("kl,lmcn->kmcn", imp.xc, new_divdt)
     return new_divdt, new_tdt, new_psdt
 
 
 def geopotential(t_spec, phis, vg_jnp):
     """Hydrostatic integration (dyn_geop.f90:19-32).
 
-    t_spec: (kx, mx, nx) complex temperature; phis: (mx, nx) complex surface
-    geopotential; vg_jnp: dict of jnp vertical arrays with keys
+    t_spec: (kx, mx, 2, nx) real-pair temperature; phis: (mx, 2, nx) surface
+    geopotential; vg_jnp: dict of numpy vertical arrays with keys
     xgeop1, xgeop2, hsg, fsg.
-    Returns phi: (kx, mx, nx).
+    Returns phi: (kx, mx, 2, nx).
     """
     kx = t_spec.shape[0]
     xg1 = vg_jnp["xgeop1"]
@@ -162,8 +161,8 @@ def geopotential(t_spec, phis, vg_jnp):
     # lapse-rate correction in the free troposphere, zonal (m=0) part only
     corr_rows = []
     for k in range(1, kx - 1):
-        corf = xg1[k] * 0.5 * jnp.log(hsg[k + 1] / fsg[k]) / jnp.log(
-            fsg[k + 1] / fsg[k - 1])
+        corf = float(xg1[k] * 0.5 * np.log(hsg[k + 1] / fsg[k])
+                     / np.log(fsg[k + 1] / fsg[k - 1]))
         corr_rows.append((k, corf * (t_spec[k + 1, 0, :] - t_spec[k - 1, 0, :])))
     for k, row in corr_rows:
         phi = phi.at[k, 0, :].add(row)

@@ -17,13 +17,15 @@ import jax.numpy as jnp
 
 
 class SpectralState(NamedTuple):
-    """Leapfrog prognostic state (mod_dynvar.f90:9-33)."""
+    """Leapfrog prognostic state (mod_dynvar.f90:9-33).
 
-    vor: jax.Array   # (2, kx, mx, nx) vorticity
-    div: jax.Array   # (2, kx, mx, nx) divergence
-    t: jax.Array     # (2, kx, mx, nx) absolute temperature
-    ps: jax.Array    # (2, mx, nx)     log(p_s / p0)
-    tr: jax.Array    # (2, ntr, kx, mx, nx) tracers (tracer 0: q in g/kg)
+    Spectral arrays are REAL with an (re, im) axis: (..., mx, 2, nx)."""
+
+    vor: jax.Array   # (2, kx, mx, 2, nx) vorticity
+    div: jax.Array   # (2, kx, mx, 2, nx) divergence
+    t: jax.Array     # (2, kx, mx, 2, nx) absolute temperature
+    ps: jax.Array    # (2, mx, 2, nx)     log(p_s / p0)
+    tr: jax.Array    # (2, ntr, kx, mx, 2, nx) tracers (tracer 0: q, g/kg)
 
     def at_level(self, j: int) -> "PrognosticFields":
         return PrognosticFields(self.vor[j], self.div[j], self.t[j],
@@ -33,11 +35,11 @@ class SpectralState(NamedTuple):
 class PrognosticFields(NamedTuple):
     """One time level of the prognostic state."""
 
-    vor: jax.Array   # (kx, mx, nx)
+    vor: jax.Array   # (kx, mx, 2, nx)
     div: jax.Array
     t: jax.Array
-    ps: jax.Array    # (mx, nx)
-    tr: jax.Array    # (ntr, kx, mx, nx)
+    ps: jax.Array    # (mx, 2, nx)
+    tr: jax.Array    # (ntr, kx, mx, 2, nx)
 
 
 class Tendencies(NamedTuple):
@@ -48,12 +50,12 @@ class Tendencies(NamedTuple):
     trdt: jax.Array
 
 
-def zero_state(kx: int, mx: int, nx: int, ntr: int, cdtype) -> SpectralState:
-    z = lambda *s: jnp.zeros(s, dtype=cdtype)
+def zero_state(kx: int, mx: int, nx: int, ntr: int, dtype) -> SpectralState:
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
     return SpectralState(
-        vor=z(2, kx, mx, nx),
-        div=z(2, kx, mx, nx),
-        t=z(2, kx, mx, nx),
-        ps=z(2, mx, nx),
-        tr=z(2, ntr, kx, mx, nx),
+        vor=z(2, kx, mx, 2, nx),
+        div=z(2, kx, mx, 2, nx),
+        t=z(2, kx, mx, 2, nx),
+        ps=z(2, mx, 2, nx),
+        tr=z(2, ntr, kx, mx, 2, nx),
     )

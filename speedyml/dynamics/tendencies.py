@@ -57,9 +57,12 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     """Nonlinear grid-space tendencies -> spectral (dyn_grtend.f90:1-279).
 
     fdyn: fields at the dynamics time level (j2); fphy: at the physics time
-    level (j1). phys_fn(dy, fphy_grid) must return grid-space tendency
-    increments (utend, vtend, ttend, trtend) to be added before the spectral
-    conversion (phy_phypar.f90 contract).
+    level (j1). phys_fn(dy, fphy) must return ((utend, vtend, ttend, trtend),
+    extras): grid-space tendency increments added before the spectral
+    conversion (phy_phypar.f90 contract) plus an arbitrary extras pytree
+    (radiation carry, fluxes) threaded back to the caller.
+
+    Returns (Tendencies, extras).
     """
     T = dy.T
     dhs = dy.vg_jnp["dhs"]          # (kx,)
@@ -91,7 +94,7 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     px = T.spec_to_grid(pdx_s, kcos=2)
     py = T.spec_to_grid(pdy_s, kcos=2)
     psdt = T.grid_to_spec(-umean * px - vmean * py)
-    psdt = psdt.at[0, 0].set(0.0)
+    psdt = psdt.at[0, :, 0].set(0.0)
 
     # --- vertical sigma velocity (dyn_grtend.f90:105-123) ---
     puv = (ug - umean[None]) * px[None] + (vg - vmean[None]) * py[None]
@@ -141,8 +144,9 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
               - (iface_tr[:, 1:] + iface_tr[:, :-1]) * dhsr[None, :, None, None])
 
     # --- physics (phy_phypar contract: adds to grid tendencies) ---
+    extras = None
     if phys_fn is not None:
-        du, dv, dtt, dtrt = phys_fn(dy, fphy)
+        (du, dv, dtt, dtrt), extras = phys_fn(dy, fphy)
         utend = utend + du
         vtend = vtend + dv
         ttend = ttend + dtt
@@ -159,7 +163,8 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     _, trdt_flux = T.vdspec(-ug[None] * trg, -vg[None] * trg, kcos=2)
     trdt = trdt_flux + T.grid_to_spec(trtend)
 
-    return Tendencies(vordt=vordt, divdt=divdt, tdt=tdt, psdt=psdt, trdt=trdt)
+    return Tendencies(vordt=vordt, divdt=divdt, tdt=tdt, psdt=psdt,
+                      trdt=trdt), extras
 
 
 def sptend(dy, f: PrognosticFields, tend: Tendencies,
@@ -170,12 +175,12 @@ def sptend(dy, f: PrognosticFields, tend: Tendencies,
     dhsr = dy.vg_jnp["dhsr"]
     kx = f.vor.shape[0]
 
-    dmeanc = jnp.sum(f.div * dhs[:, None, None], axis=0)      # (mx, nx)
+    dmeanc = jnp.sum(f.div * dhs[:, None, None, None], axis=0)  # (mx, 2, nx)
     psdt = tend.psdt - dmeanc
-    psdt = psdt.at[0, 0].set(0.0)
+    psdt = psdt.at[0, :, 0].set(0.0)
 
     # sigma-dot at interfaces (only interior kx-1 accumulate; last stays 0)
-    incr = -(dhs[: kx - 1, None, None]
+    incr = -(dhs[: kx - 1, None, None, None]
              * (f.div[: kx - 1] - dmeanc[None]))
     zero_iface = jnp.zeros_like(dmeanc)[None]
     sigdtc = jnp.concatenate(
@@ -183,17 +188,17 @@ def sptend(dy, f: PrognosticFields, tend: Tendencies,
 
     tref = imp.tref
     dtref = tref[1:] - tref[:-1]
-    dumk = sigdtc[1:-1] * dtref[:, None, None]
+    dumk = sigdtc[1:-1] * dtref[:, None, None, None]
     dumk = jnp.concatenate([zero_iface, dumk, zero_iface], axis=0)
 
     tdt = (tend.tdt
-           - (dumk[1:] + dumk[:-1]) * dhsr[:, None, None]
-           + imp.tref3[:, None, None] * (sigdtc[1:] + sigdtc[:-1])
-           - imp.tref2[:, None, None] * dmeanc[None])
+           - (dumk[1:] + dumk[:-1]) * dhsr[:, None, None, None]
+           + imp.tref3[:, None, None, None] * (sigdtc[1:] + sigdtc[:-1])
+           - imp.tref2[:, None, None, None] * dmeanc[None])
 
     # geopotential + RT*lap(ps) into divergence tendency
     phi = geopotential(f.t, dy.phis, dy.vg_jnp)
-    dump = phi + dy.rgas * imp.tref[:, None, None] * f.ps[None]
+    dump = phi + dy.rgas * imp.tref[:, None, None, None] * f.ps[None]
     divdt = tend.divdt - T.lap(dump)
 
     return Tendencies(vordt=tend.vordt, divdt=divdt, tdt=tdt, psdt=psdt,

@@ -75,8 +75,8 @@ class TestDryCore100Steps:
         # the (0,0) coefficient of log-ps is exactly conserved
         # (psdt(0,0)=0 each step, dyn_grtend.f90:103); mean pressure itself
         # drifts only through the nonlinearity of exp(log-ps)
-        np.testing.assert_allclose(complex(np.asarray(s.ps[0][0, 0])),
-                                   complex(np.asarray(rest_state(dy_orog).ps[0][0, 0])),
+        np.testing.assert_allclose(float(np.asarray(s.ps[0][0, 0, 0])),
+                                   float(np.asarray(rest_state(dy_orog).ps[0][0, 0, 0])),
                                    rtol=1e-12)
         assert abs(ps1 - ps0) < 0.1  # hPa
         # dry adiabatic core with del^8 diffusion: mean T moves only slightly
