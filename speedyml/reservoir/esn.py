@@ -1,0 +1,115 @@
+"""Batched echo-state-network core.
+
+TPU-first re-design of the reference's per-region reservoir
+(src/mod_reservoir.f90, src/mod_linalg.f90): the 1152 independent
+region/level reservoirs become ONE batched computation with a leading region
+axis R, so every step is a handful of large fused array ops instead of 1152
+MPI ranks each doing an MKL spmv.
+
+Sparse adjacency: fixed-degree ELL format (idx/val (R, n, deg)) instead of
+the reference's COO + MKL handle (mod_linalg.f90:10-25) — a row-gather +
+small reduction that XLA vectorizes well; arbitrary COO (e.g. Zenodo trained
+weights) is padded row-wise into ELL on load.
+
+Input weights: the reference's Win is block-diagonal with q = n/n_in
+contiguous nodes per input column (mod_reservoir.f90:262-283), so Win @ u is
+an elementwise multiply against the input broadcast q times — no matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EsnParams(NamedTuple):
+    """Batched reservoir parameters (leading axis R = regions[x levels])."""
+
+    a_idx: jax.Array    # (R, n, deg) int32 column indices
+    a_val: jax.Array    # (R, n, deg) adjacency values (radius-scaled)
+    win: jax.Array      # (R, n) block-diagonal input weights
+    wout: jax.Array     # (R, n_out, n_model + n) readout
+    leakage: float
+    q: int              # nodes per input (n = q * n_in)
+
+    @property
+    def n(self) -> int:
+        return self.win.shape[-1]
+
+    @property
+    def n_in(self) -> int:
+        return self.win.shape[-1] // self.q
+
+    @property
+    def n_model(self) -> int:
+        return self.wout.shape[-1] - self.win.shape[-1]
+
+
+def spmv_ell(a_idx, a_val, x):
+    """Batched ELL sparse matvec: y[r, i] = sum_d val[r,i,d] * x[r, idx[r,i,d]].
+
+    x: (R, n) -> (R, n).
+    """
+    R, n, deg = a_idx.shape
+    gathered = jnp.take_along_axis(x, a_idx.reshape(R, n * deg),
+                                   axis=1).reshape(R, n, deg)
+    return jnp.sum(a_val * gathered, axis=-1)
+
+
+def win_apply(params: EsnParams, u):
+    """Win @ u via the block structure: node j gets input j // q."""
+    u_rep = jnp.repeat(u, params.q, axis=-1)     # (R, n)
+    return params.win * u_rep
+
+
+def advance(params: EsnParams, x, u):
+    """One reservoir update x <- (1-l)x + l*tanh(A x + Win u)
+    (mod_reservoir.f90:1418-1435 core update)."""
+    u = jnp.asarray(u, x.dtype)
+    y = spmv_ell(params.a_idx, params.a_val, x)
+    x_new = jnp.tanh(y + win_apply(params, u))
+    lk = params.leakage
+    return (1.0 - lk) * x + lk * x_new
+
+
+def nonlinear_state(x):
+    """x~ with odd (0-based) nodes squared (reference squares 1-based even
+    indices, mod_reservoir.f90:1029)."""
+    sq = x * x
+    mask = (jnp.arange(x.shape[-1]) % 2).astype(x.dtype)
+    return x * (1.0 - mask) + sq * mask
+
+
+def readout(params: EsnParams, x, model_vec=None):
+    """outvec = Wout @ [model_vec; x~] (predict, mod_reservoir.f90:1446-1455).
+
+    model_vec: (R, n_model) standardized imperfect-model forecast (hybrid) or
+    None (ml_only; wout then has n_model == 0).
+    """
+    xt = nonlinear_state(x)
+    if model_vec is not None and params.n_model > 0:
+        aug = jnp.concatenate([model_vec, xt], axis=-1)
+    else:
+        aug = xt
+    return jnp.einsum("roa,ra->ro", params.wout, aug)
+
+
+def synchronize(params: EsnParams, x, inputs):
+    """Drive the reservoir with a (T, R, n_in) series, no readout
+    (mod_reservoir.f90:1354-1380)."""
+    inputs = jnp.asarray(inputs, x.dtype)
+
+    def body(x, u):
+        return advance(params, x, u), None
+
+    x, _ = jax.lax.scan(body, x, inputs)
+    return x
+
+
+def predict_step(params: EsnParams, x, feedback, model_vec=None):
+    """One prediction step: advance with feedback, read out."""
+    x = advance(params, x, feedback)
+    return x, readout(params, x, model_vec)

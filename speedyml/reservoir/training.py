@@ -1,0 +1,160 @@
+"""Ridge-regression training of the batched reservoirs.
+
+Re-design of the reference's chunked normal-equation accumulation + LAPACK
+solve (src/mod_reservoir.f90:963-1334, src/mod_linalg.f90:109-151):
+
+  * The time loop is a lax.scan over CHUNKS: each chunk collects its
+    reservoir states and folds them into the normal equations with one
+    batched GEMM (the reference's DGEMM, mod_reservoir.f90:1645-1701) — MXU
+    work at full tile utilization.
+  * The normal equations are ill-conditioned and need better-than-f32
+    accumulation (the reference compiles everything real*8). TPUs have no
+    fast f64, so the accumulators use COMPENSATED double-float (two-sum)
+    arithmetic: an (hi, lo) f32 pair per entry giving ~2^-48 effective
+    precision from pure f32 ops.
+  * Multiplicative Gaussian input noise (mod_utilities.f90:1387-1410) is
+    generated on device with jax.random.
+  * The ridge solve runs on the host in float64 (one-time, small).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .esn import EsnParams, advance, nonlinear_state
+
+
+def _two_sum(hi, lo, delta):
+    """Compensated accumulation: (hi, lo) += delta exactly to ~2 ulps^2."""
+    s = hi + delta
+    v = s - hi
+    e = (hi - (s - v)) + (delta - v)
+    return s, lo + e
+
+
+class NormalEq(NamedTuple):
+    ss_hi: jax.Array   # (R, na, na) sum of aug aug^T (leading part)
+    ss_lo: jax.Array   # compensation part
+    sy_hi: jax.Array   # (R, n_out, na) sum of target aug^T
+    sy_lo: jax.Array
+    x: jax.Array       # (R, n) carried reservoir state
+
+
+def init_normal_eq(params: EsnParams, n_out: int,
+                   dtype=jnp.float32) -> NormalEq:
+    R = params.win.shape[0]
+    na = params.n_model + params.n
+    z = lambda *s: jnp.zeros(s, dtype)
+    return NormalEq(ss_hi=z(R, na, na), ss_lo=z(R, na, na),
+                    sy_hi=z(R, n_out, na), sy_lo=z(R, n_out, na),
+                    x=z(R, params.n))
+
+
+def _add_noise(inputs, noise_mag, rng_key):
+    noise = jax.random.normal(rng_key, inputs.shape, inputs.dtype)
+    return inputs + noise * noise_mag * inputs
+
+
+def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
+                         model_states=None, noise_mag: float = 0.0,
+                         rng_key=None, chunk: int = 128):
+    """Run the reservoir over a training series, accumulating normal equations.
+
+    inputs:  (T, R, n_in) standardized input series u(t), t = 0..T-1
+    targets: (T, R, n_out) truth at t+1 (already shifted by the caller)
+    model_states: (T, R, n_model) imperfect-model forecast valid at t+1
+    noise_mag: multiplicative input noise magnitude (training only)
+    chunk: timesteps per GEMM block; T is truncated to a multiple of chunk.
+
+    The (state-after-u(t), target(t+1)) pairing matches the reference's
+    chunked layer (mod_reservoir.f90:1004-1065).
+    """
+    dt = acc.x.dtype
+    inputs = jnp.asarray(inputs, dt)
+    targets = jnp.asarray(targets, dt)
+    if model_states is not None:
+        model_states = jnp.asarray(model_states, dt)
+    if noise_mag > 0.0:
+        assert rng_key is not None
+        inputs = _add_noise(inputs, noise_mag, rng_key)
+
+    T = inputs.shape[0]
+    nchunks = T // chunk
+    Tc = nchunks * chunk
+    inputs = inputs[:Tc].reshape(nchunks, chunk, *inputs.shape[1:])
+    targets = targets[:Tc].reshape(nchunks, chunk, *targets.shape[1:])
+    if model_states is not None:
+        model_states = model_states[:Tc].reshape(
+            nchunks, chunk, *model_states.shape[1:])
+
+    def chunk_body(carry, blk):
+        x, ss_hi, ss_lo, sy_hi, sy_lo = carry
+        if model_states is not None:
+            u_blk, y_blk, m_blk = blk
+        else:
+            u_blk, y_blk = blk
+            m_blk = None
+
+        def step(x, u):
+            x = advance(params, x, u)
+            return x, nonlinear_state(x)
+
+        x, xt_blk = jax.lax.scan(step, x, u_blk)      # xt_blk (chunk, R, n)
+        if m_blk is not None:
+            aug = jnp.concatenate([m_blk, xt_blk], axis=-1)
+        else:
+            aug = xt_blk
+        # batched GEMMs over the chunk (MXU)
+        ss_d = jnp.einsum("tra,trb->rab", aug, aug)
+        sy_d = jnp.einsum("tro,tra->roa", y_blk, aug)
+        ss_hi, ss_lo = _two_sum(ss_hi, ss_lo, ss_d)
+        sy_hi, sy_lo = _two_sum(sy_hi, sy_lo, sy_d)
+        return (x, ss_hi, ss_lo, sy_hi, sy_lo), None
+
+    xs = (inputs, targets) if model_states is None else (
+        inputs, targets, model_states)
+    carry = (acc.x, acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+    (x, ss_hi, ss_lo, sy_hi, sy_lo), _ = jax.lax.scan(chunk_body, carry, xs)
+    return NormalEq(ss_hi=ss_hi, ss_lo=ss_lo, sy_hi=sy_hi, sy_lo=sy_lo, x=x)
+
+
+def drive_discard(params: EsnParams, x, inputs, noise_mag: float = 0.0,
+                  rng_key=None):
+    """Discard/spin-up phase: advance only (mod_reservoir.f90:983-996)."""
+    inputs = jnp.asarray(inputs, x.dtype)
+    if noise_mag > 0.0:
+        inputs = _add_noise(inputs, noise_mag, rng_key)
+
+    def body(x, u):
+        return advance(params, x, u), None
+
+    x, _ = jax.lax.scan(body, x, inputs)
+    return x
+
+
+def ridge_solve(acc: NormalEq, n_model: int, beta_res: float,
+                beta_model: float, prior_val: float = 0.0,
+                use_prior: bool = False) -> np.ndarray:
+    """Solve (SS + B) Wout^T = SY^T per region, in float64 on the host
+    (fit_chunk_hybrid/ml, mod_reservoir.f90:1177-1334).
+
+    Returns wout (R, n_out, na) float64 -> cast by caller.
+    """
+    ss = np.asarray(acc.ss_hi, np.float64) + np.asarray(acc.ss_lo, np.float64)
+    sy = np.asarray(acc.sy_hi, np.float64) + np.asarray(acc.sy_lo, np.float64)
+    R, na, _ = ss.shape
+    diag = np.full(na, beta_res if not use_prior else beta_res**2)
+    diag[:n_model] = beta_model if not use_prior else beta_model**2
+    ss = ss + np.diag(diag)[None]
+    if use_prior and n_model > 0:
+        prior = np.zeros_like(sy)
+        n_out = sy.shape[1]
+        k = min(n_model, n_out)
+        prior[:, np.arange(k), np.arange(k)] = prior_val * beta_model**2
+        sy = sy + prior
+    wout = np.linalg.solve(ss, np.swapaxes(sy, 1, 2))   # (R, na, n_out)
+    return np.swapaxes(wout, 1, 2)
