@@ -41,6 +41,13 @@ class ModelDate:
             self.imonth = 1
             self.iyear += 1
 
+    def advance_hours(self, n: int):
+        """Advance by n hours, rolling days via advance_day."""
+        self.ihour += n
+        while self.ihour >= 24:
+            self.ihour -= 24
+            self.advance_day()
+
     @property
     def tmonth(self) -> float:
         return (self.iday - 0.5) / _NDAYS[self.imonth - 1]

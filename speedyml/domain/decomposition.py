@@ -41,6 +41,8 @@ class RegionLayout:
 
     # per-region input gather map into the packed global supervector
     input_index: np.ndarray    # (R, n_in) int32
+    # per-region target/core gather map (output layout) into the supervector
+    target_index: np.ndarray   # (R, n_out) int32
     n_in: int
     n_out: int                 # chunk size (atmo3d core + logp + precip)
     sizes: dict                # section name -> (start, stop) in input vec
@@ -108,36 +110,49 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
     n_out = p
 
     input_index = np.empty((R, n_in), dtype=np.int32)
+    target_index = np.empty((R, n_out), dtype=np.int32)
     lat_region = np.zeros((R, 2))
     if radang_deg is None:
         radang_deg = np.linspace(-87, 87, il)
+
+    def atmo_section(patch_yx, py, px):
+        """Gather indices for an atmo3d patch in the var-fastest layout
+        flat[v + nvars*(xx + px*(yy + py*z))] (mod_reservoir.f90:506-517)."""
+        sec = np.empty(nvars * kx * py * px, dtype=np.int32)
+        a0, _ = gv_sizes["atmo3d"]
+        for z in range(kx):
+            for yy in range(py):
+                for xx in range(px):
+                    base = patch_yx[yy, xx]
+                    for v in range(nvars):
+                        sec[v + nvars * (xx + px * (yy + py * z))] = (
+                            a0 + (v * kx + z) * ngp + base)
+        return sec
 
     for r in range(R):
         ry, rx = divmod(r, nregx)
         y0 = ry * resy - overlap
         x0 = rx * resx - overlap
         patch = _patch_indices(il, ix, y0, x0, inpy, inpx)  # (npatch,) y-major
-        # atmo3d ordering (var fastest, then x, then y, then z):
-        # flat[v + nvars*(xx + inpx*(yy + inpy*z))]
-        sec = np.empty(n_atmo, dtype=np.int32)
-        a0, _ = gv_sizes["atmo3d"]
-        patch_yx = patch.reshape(inpy, inpx)
-        i = 0
-        for z in range(kx):
-            for yy in range(inpy):
-                for xx in range(inpx):
-                    base = patch_yx[yy, xx]
-                    for v in range(nvars):
-                        # position in input vec: v + nvars*(xx + inpx*(yy + inpy*z))
-                        sec[v + nvars * (xx + inpx * (yy + inpy * z))] = (
-                            a0 + (v * kx + z) * ngp + base)
-                        i += 1
-        input_index[r, sizes["atmo3d"][0]:sizes["atmo3d"][1]] = sec
+        input_index[r, sizes["atmo3d"][0]:sizes["atmo3d"][1]] = atmo_section(
+            patch.reshape(inpy, inpx), inpy, inpx)
         for name in ("logp", "precip", "sst", "tisr"):
             s0, s1 = sizes[name]
             if s1 > s0:
                 g0, _ = gv_sizes[name]
                 input_index[r, s0:s1] = g0 + patch
+
+        # target/core map (no halo): tile_full_input_to_target_data analog
+        # (res_domain.f90:602-689)
+        core = _patch_indices(il, ix, ry * resy, rx * resx, resy, resx)
+        target_index[r, out_sizes["atmo3d"][0]:out_sizes["atmo3d"][1]] = (
+            atmo_section(core.reshape(resy, resx), resy, resx))
+        for name in ("logp", "precip"):
+            if name in out_sizes:
+                t0, t1 = out_sizes[name]
+                g0, _ = gv_sizes[name]
+                target_index[r, t0:t1] = g0 + core
+
         lat0 = radang_deg[min(max(ry * resy, 0), il - 1)]
         lat1 = radang_deg[min(ry * resy + resy - 1, il - 1)]
         lat_region[r] = (lat0, lat1)
@@ -145,6 +160,7 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
     return RegionLayout(ix=ix, il=il, kx=kx, nvars=nvars, resx=resx,
                         resy=resy, overlap=overlap, nregx=nregx, nregy=nregy,
                         R=R, inpx=inpx, inpy=inpy, input_index=input_index,
+                        target_index=target_index,
                         n_in=n_in, n_out=n_out, sizes=sizes,
                         out_sizes=out_sizes, lat_region_deg=lat_region,
                         gv_sizes=gv_sizes, gv_len=gv_len)

@@ -1,0 +1,416 @@
+"""End-to-end hybrid experiment orchestration: data -> train -> predict.
+
+TPU-native redesign of the reference driver + MPI exchange
+(parallelmain.f90:30-282, mpires.f90:218-804): there is no hub-and-spoke —
+the global state lives in ONE packed supervector on device; reservoir
+input packing is a batched gather, output scattering a reshape, and the
+SPEEDY window forecast is another jitted program on the same arrays.
+
+Data contract (the reference's unit fixes, mod_reservoir.f90:322-603):
+  * atmo3d variables (T, u, v, q[g/kg]) with q clamped >= QMIN,
+  * precip -> log(1 + P/eps), eps = precip_epsilon (mod_reservoir.f90:44),
+  * sst clamped >= 272 K, tisr clamped >= 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.calendar import ModelDate
+from ..core.config import ReservoirConfig
+from ..coupler.daily import fordate, init_coupler_state
+from ..domain.decomposition import (RegionLayout, build_layout, gather_inputs,
+                                    pack_global, scatter_outputs)
+from ..domain.standardize import (Standardizer, compute_stats,
+                                  standardize_in, standardize_out,
+                                  unstandardize_out)
+from ..reservoir.esn import EsnParams, predict_step, synchronize
+from ..reservoir.generate import generate_esn, radius_by_lat
+from ..reservoir.training import (drive_and_accumulate, drive_discard,
+                                  init_normal_eq, ridge_solve)
+from .forecast import SpeedyForecaster, TrajectoryRunner
+from .state_io import GridState
+
+QMIN = 1e-6     # q floor [g/kg] (reference training-data clamp)
+SST_MIN = 272.0
+
+
+class TruthSeries(NamedTuple):
+    """Host-side 6-hourly series (the ERA5-training-set analog)."""
+
+    atmo: np.ndarray     # (T, nvars=4, kx, il, ix) order (T, u, v, q)
+    logp: np.ndarray     # (T, il, ix)
+    precip: np.ndarray   # (T, il, ix) raw mm per window
+    sst: np.ndarray      # (T, il, ix)
+    tisr: np.ndarray     # (T, il, ix)
+    hours: np.ndarray    # (T,) hours since epoch per sample
+
+
+def _grid_to_atmo(gs: GridState) -> np.ndarray:
+    """GridState -> (4, kx, il, ix) in the reference variable order."""
+    return np.stack([np.asarray(gs.t), np.asarray(gs.u),
+                     np.asarray(gs.v), np.asarray(gs.q)], axis=0)
+
+
+def _atmo_to_grid(atmo, logp) -> GridState:
+    return GridState(t=atmo[0], u=atmo[1], v=atmo[2],
+                     q=jnp.maximum(atmo[3], 0.0), logp=logp)
+
+
+def collect_truth(runner: TrajectoryRunner, n_samples: int) -> TruthSeries:
+    """Advance the truth trajectory n_samples windows, recording each."""
+    from ..core.calendar import hours_since_epoch
+
+    atmo, logp, precip, sst, tisr, hours = [], [], [], [], [], []
+    for _ in range(n_samples):
+        s = runner.advance()
+        atmo.append(_grid_to_atmo(s.gs))
+        logp.append(np.asarray(s.gs.logp))
+        precip.append(s.precip_mm)
+        sst.append(s.sst)
+        tisr.append(s.tisr)
+        d = runner.date
+        hours.append(hours_since_epoch(d.iyear, d.imonth, d.iday, d.ihour))
+    return TruthSeries(atmo=np.stack(atmo), logp=np.stack(logp),
+                       precip=np.stack(precip), sst=np.stack(sst),
+                       tisr=np.stack(tisr), hours=np.asarray(hours))
+
+
+def collect_forecasts(fc: SpeedyForecaster, truth: TruthSeries):
+    """Imperfect-model one-window forecasts from each truth state.
+
+    Returns (atmo, logp, precip) arrays aligned so index t is the forecast
+    VALID at truth sample t (launched from t-1); index 0 is a copy of truth
+    (never used: training pairs start at t=1). This is the analog of the
+    reference's precomputed "restart_6hour" SPEEDY states
+    (speedy_res_interface.f90:637-723).
+    """
+    from ..core.calendar import datetime_from_hours
+
+    T = truth.atmo.shape[0]
+    atmo = np.empty_like(truth.atmo)
+    logp = np.empty_like(truth.logp)
+    precip = np.zeros_like(truth.precip)
+    atmo[0] = truth.atmo[0]
+    logp[0] = truth.logp[0]
+    for t in range(T - 1):
+        y, m, d, h = datetime_from_hours(int(truth.hours[t]))
+        date = ModelDate(iyear=y, imonth=m, iday=d, ihour=h)
+        gs = _atmo_to_grid(truth.atmo[t], truth.logp[t])
+        res = fc.forecast(gs, date, sst_hybrid=truth.sst[t])
+        atmo[t + 1] = _grid_to_atmo(res.gs)
+        logp[t + 1] = np.asarray(res.gs.logp)
+        precip[t + 1] = np.asarray(res.precip_mm)
+    return atmo, logp, precip
+
+
+# ----------------------------------------------------------------------
+# packing + transforms
+# ----------------------------------------------------------------------
+def transform_and_pack(layout: RegionLayout, atmo, logp, precip, sst, tisr,
+                       eps: float) -> np.ndarray:
+    """Apply the reference's unit fixes and pack to (T, gv_len) float32."""
+    T = atmo.shape[0]
+    a = np.array(atmo, np.float32, copy=True)
+    a[:, 3] = np.maximum(a[:, 3], QMIN)
+    pr = np.log1p(np.maximum(precip, 0.0) / eps).astype(np.float32)
+    ss = np.maximum(sst, SST_MIN).astype(np.float32)
+    ti = np.maximum(tisr, 0.0).astype(np.float32)
+    gv = np.empty((T, layout.gv_len), np.float32)
+    s = layout.gv_sizes
+    gv[:, s["atmo3d"][0]:s["atmo3d"][1]] = a.reshape(T, -1)
+    gv[:, s["logp"][0]:s["logp"][1]] = logp.reshape(T, -1)
+    if s["precip"][1] > s["precip"][0]:
+        gv[:, s["precip"][0]:s["precip"][1]] = pr.reshape(T, -1)
+    if s["sst"][1] > s["sst"][0]:
+        gv[:, s["sst"][0]:s["sst"][1]] = ss.reshape(T, -1)
+    if s["tisr"][1] > s["tisr"][0]:
+        gv[:, s["tisr"][0]:s["tisr"][1]] = ti.reshape(T, -1)
+    return gv
+
+
+def invert_precip(precip_t, eps: float):
+    """log(1 + P/eps) -> P [mm]."""
+    return eps * jnp.expm1(jnp.maximum(precip_t, 0.0))
+
+
+# ----------------------------------------------------------------------
+# the trained hybrid model
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class HybridModel:
+    """Trained per-region reservoirs + standardization + layout."""
+
+    layout: RegionLayout
+    params: EsnParams
+    stz: Standardizer
+    rcfg: ReservoirConfig
+    ml_only: bool = False
+
+    # jit caches
+    _step_fn: Optional[callable] = None
+    _sync_fn: Optional[callable] = None
+
+    def _maps(self):
+        if not hasattr(self, "_idx") or self._idx is None:
+            self._idx = jnp.asarray(self.layout.input_index)
+            self._tidx = jnp.asarray(self.layout.target_index)
+        return self._idx, self._tidx
+
+    def _build_step(self):
+        """One hybrid step entirely on device.
+
+        All weights/stats/maps enter as jit ARGUMENTS (never closure
+        constants — wout alone is ~0.5 GB at full scale and would otherwise
+        be embedded in the compiled program)."""
+        L = self.layout
+        ml_only = self.ml_only
+
+        def step(params, stz, idx, tidx, x, gv, model_gv):
+            u = standardize_in(stz, gv[idx])
+            if ml_only:
+                model_vec = None
+            else:
+                model_vec = standardize_out(stz, model_gv[tidx])
+            x, out_std = predict_step(params, x, u, model_vec)
+            out = unstandardize_out(stz, out_std)
+            atmo, logp, precip_t = scatter_outputs(L, out)
+            # physical sanity clamps (mpires.f90:456-462)
+            atmo = atmo.at[3].set(jnp.maximum(atmo[3], QMIN))
+            if precip_t is not None:
+                precip_t = jnp.maximum(precip_t, 0.0)
+            return x, atmo, logp, precip_t
+
+        return jax.jit(step)
+
+    def _build_sync(self):
+        def sync(params, stz, idx, x, gv_series):
+            u = standardize_in(stz, gv_series[:, idx])
+            return synchronize(params, x, u)
+
+        return jax.jit(sync)
+
+    def synchronize(self, gv_series: np.ndarray, x=None):
+        """Drive reservoirs with true data (mod_reservoir.f90:1354-1416)."""
+        if self._sync_fn is None:
+            self._sync_fn = self._build_sync()
+        if x is None:
+            x = jnp.zeros((self.layout.R, self.params.n), jnp.float32)
+        idx, _ = self._maps()
+        return self._sync_fn(self.params, self.stz, idx, x,
+                             jnp.asarray(gv_series, jnp.float32))
+
+    def step(self, x, gv, model_gv=None):
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        if model_gv is None:
+            model_gv = jnp.zeros_like(gv)
+        idx, tidx = self._maps()
+        return self._step_fn(self.params, self.stz, idx, tidx, x, gv,
+                             model_gv)
+
+
+# ----------------------------------------------------------------------
+# training
+# ----------------------------------------------------------------------
+def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
+                 gv_truth: np.ndarray, gv_model: Optional[np.ndarray],
+                 seed: int = 0, region_block: int = 0,
+                 chunk: int = 64) -> HybridModel:
+    """Train all regions' readouts by blocked normal-equation accumulation.
+
+    gv_truth: (T, gv_len) transformed truth series.
+    gv_model: (T, gv_len) imperfect-model forecasts valid at each index
+              (hybrid) or None (ml_only).
+    region_block: regions trained per device pass (0 = all at once; at full
+    scale the (Rb, na, na) normal equations bound the block size — the
+    reference instead serializes one region per MPI rank).
+    """
+    R = layout.R
+    ml_only = gv_model is None
+    Tn = gv_truth.shape[0]
+    discard = max(1, rcfg.discardlength // rcfg.timestep)
+    assert Tn > discard + 2, "training series shorter than discard"
+
+    # stats from the packed truth inputs (per region/var/level)
+    inputs_all = gv_truth[:, layout.input_index]        # (T, R, n_in)
+    stz = compute_stats(layout, inputs_all)
+    out_mean = np.asarray(stz.out_mean)
+    out_std = np.asarray(stz.out_std)
+    in_mean = np.asarray(stz.in_mean)
+    in_std = np.asarray(stz.in_std)
+
+    radii = radius_by_lat(layout.lat_region_deg[:, 0],
+                          layout.lat_region_deg[:, 1],
+                          max_radius=rcfg.radius_high,
+                          min_radius=rcfg.radius_low)
+
+    blocks = [np.arange(R)] if region_block in (0, R) else [
+        np.arange(i, min(i + region_block, R))
+        for i in range(0, R, region_block)]
+
+    wout_parts, idx_parts, val_parts, win_parts = [], [], [], []
+    q_nodes = None
+    key = jax.random.PRNGKey(seed)
+    for bi, blk in enumerate(blocks):
+        Rb = len(blk)
+        n_model = 0 if ml_only else layout.n_out
+        params = generate_esn(seed + 17 * bi, Rb, layout.n_in, layout.n_out,
+                              n_model, m_target=rcfg.nodes_per_input,
+                              deg=rcfg.degree, sigma=rcfg.sigma,
+                              leakage=rcfg.leakage, radii=radii[blk])
+        q_nodes = params.q
+
+        u_blk = (inputs_all[:, blk] - in_mean[blk]) / in_std[blk]
+        y_all = gv_truth[:, layout.target_index[blk]]
+        y_blk = (y_all - out_mean[blk]) / out_std[blk]
+        if not ml_only:
+            m_all = gv_model[:, layout.target_index[blk]]
+            m_blk = (m_all - out_mean[blk]) / out_std[blk]
+
+        kd, kt, key = jax.random.split(key, 3)
+        x = jnp.zeros((Rb, params.n), jnp.float32)
+        x = drive_discard(params, x, u_blk[:discard],
+                          noise_mag=rcfg.noise_std, rng_key=kd)
+        acc = init_normal_eq(params, layout.n_out)
+        acc = acc._replace(x=x)
+        # pairs: state after u(t) vs target(t+1), t = discard..T-2
+        acc = drive_and_accumulate(
+            params, acc, u_blk[discard:-1], y_blk[discard + 1:],
+            None if ml_only else m_blk[discard + 1:],
+            noise_mag=rcfg.noise_std, rng_key=kt, chunk=chunk)
+        wout = ridge_solve(acc, n_model, rcfg.beta_res, rcfg.beta_model,
+                           prior_val=rcfg.prior_val,
+                           use_prior=rcfg.prior_val != 0.0)
+        wout_parts.append(np.asarray(wout, np.float32))
+        idx_parts.append(np.asarray(params.a_idx))
+        val_parts.append(np.asarray(params.a_val))
+        win_parts.append(np.asarray(params.win))
+
+    n_nodes = win_parts[0].shape[1]
+    params_all = EsnParams(
+        a_idx=jnp.asarray(np.concatenate(idx_parts)),
+        a_val=jnp.asarray(np.concatenate(val_parts)),
+        win=jnp.asarray(np.concatenate(win_parts)),
+        wout=jnp.asarray(np.concatenate(wout_parts)),
+        node_map=jnp.asarray(np.arange(n_nodes) // q_nodes, np.int32),
+        leakage=rcfg.leakage)
+    return HybridModel(layout=layout, params=params_all, stz=stz, rcfg=rcfg,
+                       ml_only=ml_only)
+
+
+# ----------------------------------------------------------------------
+# prediction
+# ----------------------------------------------------------------------
+class HybridRunner:
+    """The prediction loop (parallelmain.f90:206-273 redesigned):
+    reservoir step + SPEEDY window per hybrid timestep, global state
+    device-resident throughout."""
+
+    def __init__(self, hm: HybridModel, fc: Optional[SpeedyForecaster],
+                 clim=None, dy=None):
+        self.hm = hm
+        self.fc = fc
+        self.clim = clim if clim is not None else (fc.speedy.clim if fc else None)
+        self.dy = dy if dy is not None else (fc.speedy.dy if fc else None)
+        self.eps = hm.rcfg.precip_epsilon
+
+    def _sst_tisr(self, date: ModelDate):
+        """Boundary SST (climatology; slab-ocean reservoir overrides later)
+        and TISR for the date."""
+        cs = init_coupler_state(self.clim, date)
+        rad_fields, _, _ = fordate(self.dy, self.clim, cs, date)
+        il, ix = self.hm.layout.il, self.hm.layout.ix
+        tisr = np.broadcast_to(
+            np.asarray(rad_fields["fsol"], np.float64)[:, None],
+            (il, ix)).copy()
+        return np.asarray(cs.sst_am), tisr
+
+    def _pack(self, atmo, logp, precip_t, sst, tisr):
+        L = self.hm.layout
+        ss = jnp.maximum(jnp.asarray(sst, jnp.float32), SST_MIN)
+        ti = jnp.maximum(jnp.asarray(tisr, jnp.float32), 0.0)
+        return pack_global(L, jnp.asarray(atmo, jnp.float32),
+                           jnp.asarray(logp, jnp.float32),
+                           precip_t if precip_t is not None else None,
+                           ss, ti)
+
+    def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
+            sst_fn=None, ocean=None, x_ocean=None, sst0=None):
+        """Run n_steps hybrid steps from transformed global fields.
+
+        sst_fn(date) -> (il, ix) SST override; default climatology.
+        ocean: trained OceanModel — steps every timestep_slab hours on the
+        rolling week-mean supervector and feeds predicted SST back to both
+        the atmosphere reservoirs and SPEEDY's boundary condition
+        (mod_slab_ocean_reservoir.f90:1268-1316, cpl_sea.f90:38-44).
+        Returns a dict of trajectory arrays + final reservoir state; stops
+        early if SPEEDY's safety gate trips (ppo_iogrid.f90:563-577 ->
+        mpires.f90:744).
+        """
+        hm = self.hm
+        L = hm.layout
+        atmo, logp, precip_t = (jnp.asarray(atmo0, jnp.float32),
+                                jnp.asarray(logp0, jnp.float32),
+                                None if precip_t0 is None
+                                else jnp.asarray(precip_t0, jnp.float32))
+        date = ModelDate(date.iyear, date.imonth, date.iday, date.ihour)
+        traj = {k: [] for k in ("atmo", "logp", "precip_mm", "sst")}
+        aborted = False
+        gv_sum = None
+        n_accum = 0
+        sst_cur = None if sst0 is None else np.asarray(sst0, np.float64)
+        spw = 0 if ocean is None else ocean.steps_per_week
+        for step_i in range(n_steps):
+            sst, tisr = self._sst_tisr(date)
+            if sst_fn is not None:
+                sst = sst_fn(date)
+            if sst_cur is not None:
+                sst = sst_cur
+            gv = self._pack(atmo, logp, precip_t, sst, tisr)
+
+            if ocean is not None:
+                gv_sum = gv if gv_sum is None else gv_sum + gv
+                n_accum += 1
+                if n_accum == spw:
+                    if x_ocean is None:
+                        x_ocean = jnp.zeros(
+                            (ocean.ol.R, ocean.params.n), jnp.float32)
+                    x_ocean, sst_core = ocean.step(x_ocean, gv_sum / spw)
+                    clim_sst, _ = self._sst_tisr(date)
+                    sst_cur = ocean.compose_sst(
+                        np.asarray(sst_core), clim_sst, L)
+                    gv_sum, n_accum = None, 0
+
+            model_gv = None
+            if not hm.ml_only:
+                gs = _atmo_to_grid(atmo, logp)
+                res = self.fc.forecast(gs, date, sst_hybrid=sst)
+                if not bool(res.safe):
+                    aborted = True
+                    break
+                f_atmo = jnp.stack([res.gs.t, res.gs.u, res.gs.v,
+                                    jnp.maximum(res.gs.q, QMIN)])
+                f_pr = jnp.log1p(jnp.maximum(res.precip_mm, 0.0) / self.eps)
+                model_gv = self._pack(f_atmo, res.gs.logp, f_pr, sst, tisr)
+
+            x, atmo, logp, precip_t = hm.step(x, gv, model_gv)
+            date.advance_hours(hm.rcfg.timestep)
+            traj["atmo"].append(np.asarray(atmo))
+            traj["logp"].append(np.asarray(logp))
+            traj["precip_mm"].append(
+                None if precip_t is None
+                else np.asarray(invert_precip(precip_t, self.eps)))
+            traj["sst"].append(np.asarray(sst))
+        out = {k: (np.stack(v) if v and v[0] is not None else None)
+               for k, v in traj.items()}
+        out["x"] = x
+        out["x_ocean"] = x_ocean
+        out["date"] = date
+        out["aborted"] = aborted
+        return out

@@ -1,0 +1,240 @@
+"""SPEEDY window forecasts + truth-trajectory generation for the hybrid model.
+
+TPU-native replacement of the reference's run_model path (mpires.f90:1548-
+1660), which re-launches the full Fortran model from files every hybrid step
+(agcm_main -> agcm_init -> stepone -> stloop, at_gcm.f90:5-62). Here a window
+forecast is ONE jitted XLA program: inject grid state -> stepone bootstrap ->
+lax.scan of leapfrog steps with physics -> extract grid state, with the
+6-hourly precipitation accumulated in the scan carry.
+
+The same window function drives truth-trajectory generation (the analog of
+the reference's ERA5 truth + precomputed 6-h SPEEDY forecasts,
+speedy_res_interface.f90:439-723): a TrajectoryRunner carries the spectral
+state across windows and applies the daily land/sea/ice coupler update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.calendar import ModelDate
+from ..coupler.daily import (SSTFR, daily_coupler_update, fordate,
+                             init_coupler_state)
+from ..dynamics.core import Forcing
+from ..model import Speedy
+from ..physics.constants import PP
+from ..physics.driver import init_rad_carry
+from .state_io import GridState, extract, inject
+
+
+class WindowResult(NamedTuple):
+    gs: GridState          # forecast grid state at window end
+    precip_mm: jax.Array   # (il, ix) accumulated precipitation [mm] over window
+    safe: jax.Array        # () bool: injection passed the safety gate
+    flux_sums: tuple       # (hflux_l, hflux_s, hflux_i) per-step sums for coupler
+
+
+class SpeedyForecaster:
+    """Runs SPEEDY for a fixed window (default 6 h) from an injected grid
+    state — the hybrid's "imperfect model" step.
+
+    physics=False gives the dry core (a deliberately more imperfect model for
+    self-generated training data; the reference's model error comes from
+    SPEEDY-vs-ERA5 instead).
+    """
+
+    def __init__(self, speedy: Speedy, hours: int = 6, physics: bool = True):
+        self.speedy = speedy
+        self.hours = hours
+        self.physics = physics
+        cfg = speedy.config
+        assert (hours * cfg.nsteps) % 24 == 0
+        self.nsteps_window = hours * cfg.nsteps // 24
+        self._fn = None
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        sp = self.speedy
+        dy = sp.dy
+        cfg = sp.config
+        nst = self.nsteps_window
+        use_phys = self.physics
+        # precip unit: physics precnv/precls are g/(m^2 s); x delt/1000 -> mm
+        mm_per_step = cfg.delt / 1000.0
+        rday = 1.0 / cfg.nsteps
+
+        def phys_fn(surf, rad, lradsw):
+            def fn(dyf, fphy):
+                tends, rad_new, fluxes = sp.phys.step_physics(
+                    dyf, fphy, surf, rad, lradsw)
+                return tends, (rad_new, fluxes)
+            return fn
+
+        def ice_flux(fx, surf):
+            # difice term for the sea-ice heat budget (model.py day loop,
+            # reference ppo_dmflux.f90)
+            esbc = PP.emisfc * PP.sbc
+            difice = ((PP.albsea - PP.albice) * fx.ssrd
+                      + esbc * (SSTFR**4 - surf.tice_am**4)
+                      + fx.shf_s + fx.evap_s * PP.alhc)
+            return fx.hfluxn_s + difice * (1.0 - surf.sice_am)
+
+        def window(gs: GridState, surf, forcing: Forcing):
+            state, safe = inject(dy, gs)
+            z = jnp.zeros((cfg.il, cfg.ix), dtype=dy.dtype)
+
+            if use_phys:
+                rad = init_rad_carry(cfg.kx, cfg.il, cfg.ix, dy.dtype)
+                t = jnp.asarray(True)
+                # stepone bootstrap (ini_stepone.f90) = window step 1
+                state, (rad, fx) = dy.step(state, forcing, 0, 0, "half",
+                                           phys_fn(surf, rad, t))
+                state, (rad, fx) = dy.step(state, forcing, 0, 1, "delt",
+                                           phys_fn(surf, rad, t))
+                precip0 = (fx.precnv + fx.precls) * mm_per_step
+                acc0 = (fx.hfluxn_l * rday, fx.hfluxn_s * rday,
+                        ice_flux(fx, surf) * rday)
+
+                def body(carry, j):
+                    state, rad, pr, acc = carry
+                    lradsw = (j % cfg.nstrad) == 0
+                    state, (rad, fx) = dy.step(state, forcing, 1, 1, "delt2",
+                                               phys_fn(surf, rad, lradsw))
+                    pr = pr + (fx.precnv + fx.precls) * mm_per_step
+                    acc = (acc[0] + fx.hfluxn_l * rday,
+                           acc[1] + fx.hfluxn_s * rday,
+                           acc[2] + ice_flux(fx, surf) * rday)
+                    return (state, rad, pr, acc), None
+
+                (state, rad, precip, acc), _ = jax.lax.scan(
+                    body, (state, rad, precip0, acc0),
+                    jnp.arange(1, nst))
+            else:
+                state = dy.step(state, forcing, 0, 0, "half")
+                state = dy.step(state, forcing, 0, 1, "delt")
+
+                def body(s, _):
+                    return dy.step(s, forcing, 1, 1, "delt2"), None
+
+                state, _ = jax.lax.scan(body, state, None, length=nst - 1)
+                precip, acc = z, (z, z, z)
+
+            return WindowResult(gs=extract(dy, state, level=0),
+                                precip_mm=precip, safe=safe,
+                                flux_sums=acc)
+
+        return jax.jit(window)
+
+    # ------------------------------------------------------------------
+    def _surf_forcing(self, date: ModelDate, sst_hybrid=None):
+        sp = self.speedy
+        cs = init_coupler_state(sp.clim, date, sst_hybrid=sst_hybrid)
+        rad_fields, tcorh, qcorh = fordate(sp.dy, sp.clim, cs, date)
+        sp.coupler = cs
+        sp.date = date
+        surf = sp._make_surf(rad_fields)
+        np_dtype = (np.float64 if sp.config.dtype == "float64"
+                    else np.float32)
+        forcing = Forcing(tcorh=np.asarray(tcorh, np_dtype),
+                          qcorh=np.asarray(qcorh, np_dtype))
+        return surf, forcing, cs, rad_fields
+
+    def forecast(self, gs: GridState, date: ModelDate,
+                 sst_hybrid: Optional[np.ndarray] = None) -> WindowResult:
+        """One window forecast from grid state `gs` valid at `date`.
+
+        sst_hybrid overrides the climatological SST boundary condition (the
+        reference's ini_sea hybrid hook, cpl_sea.f90:38-44).
+        """
+        if self._fn is None:
+            self._fn = self._build()
+        surf, forcing, _, _ = self._surf_forcing(date, sst_hybrid)
+        return self._fn(gs, surf, forcing)
+
+
+@dataclasses.dataclass
+class TruthSample:
+    """One 6-hourly truth record (the ERA5-slice analog)."""
+
+    gs: GridState
+    precip_mm: np.ndarray   # accumulated over the PREVIOUS window
+    sst: np.ndarray         # coupler sst_am at sample time
+    tisr: np.ndarray        # (il, ix) top incoming solar (zonal fsol broadcast)
+
+
+class TrajectoryRunner:
+    """Generates a 6-hourly "truth" trajectory by integrating SPEEDY
+    continuously: spectral->grid state and ONE persistent coupler state are
+    carried across windows (unlike SpeedyForecaster, which re-initializes the
+    coupler per window exactly as the reference re-launches SPEEDY)."""
+
+    def __init__(self, speedy: Speedy, hours: int = 6):
+        self.speedy = speedy
+        self.fc = SpeedyForecaster(speedy, hours=hours, physics=True)
+        self.hours = hours
+        self.date: Optional[ModelDate] = None
+        self.gs: Optional[GridState] = None
+        self.cs = None
+        self._day_flux = None
+        self._hour = 0
+
+    def initialize(self, year: int = 1982, month: int = 1,
+                   spinup_days: int = 10):
+        """Rest start + spin-up (the reference trains on ERA5; self-generated
+        truth needs the model to leave the rest state first)."""
+        sp = self.speedy
+        sp.initialize(year=year, month=month)
+        if spinup_days:
+            sp.run_days(spinup_days)
+        self.date = sp.date
+        self.cs = sp.coupler
+        self.gs = jax.tree.map(np.asarray, extract(sp.dy, sp.state, level=0))
+        self._hour = 0
+        self._day_flux = None
+
+    def current_sample(self, precip_mm=None) -> TruthSample:
+        sp = self.speedy
+        rad_fields, _, _ = fordate(sp.dy, sp.clim, self.cs, self.date)
+        il, ix = sp.config.il, sp.config.ix
+        tisr = np.broadcast_to(
+            np.asarray(rad_fields["fsol"], np.float64)[:, None],
+            (il, ix)).copy()
+        if precip_mm is None:
+            precip_mm = np.zeros((il, ix))
+        return TruthSample(gs=self.gs, precip_mm=np.asarray(precip_mm),
+                           sst=np.asarray(self.cs.sst_am), tisr=tisr)
+
+    def advance(self) -> TruthSample:
+        """Advance one window; returns the truth sample at the NEW time."""
+        sp = self.speedy
+        if self.fc._fn is None:
+            self.fc._fn = self.fc._build()
+        rad_fields, tcorh, qcorh = fordate(sp.dy, sp.clim, self.cs, self.date)
+        sp.coupler = self.cs
+        surf = sp._make_surf(rad_fields)
+        np_dtype = (np.float64 if sp.config.dtype == "float64"
+                    else np.float32)
+        forcing = Forcing(tcorh=np.asarray(tcorh, np_dtype),
+                          qcorh=np.asarray(qcorh, np_dtype))
+        res = self.fc._fn(self.gs, surf, forcing)
+        self.gs = jax.tree.map(np.asarray, res.gs)
+        # daily coupler update once a full day has elapsed
+        hl, hs, hi = (np.asarray(f, np.float64) for f in res.flux_sums)
+        if self._day_flux is None:
+            self._day_flux = [hl, hs, hi]
+        else:
+            for i, f in enumerate((hl, hs, hi)):
+                self._day_flux[i] = self._day_flux[i] + f
+        self._hour += self.hours
+        self.date.advance_hours(self.hours)
+        if self._hour >= 24:
+            daily_coupler_update(sp.clim, self.cs, self.date,
+                                 *self._day_flux)
+            self._hour = 0
+            self._day_flux = None
+        return self.current_sample(precip_mm=res.precip_mm)

@@ -26,14 +26,19 @@ import numpy as np
 
 
 class EsnParams(NamedTuple):
-    """Batched reservoir parameters (leading axis R = regions[x levels])."""
+    """Batched reservoir parameters (leading axis R = regions[x levels]).
 
-    a_idx: jax.Array    # (R, n, deg) int32 column indices
-    a_val: jax.Array    # (R, n, deg) adjacency values (radius-scaled)
-    win: jax.Array      # (R, n) block-diagonal input weights
-    wout: jax.Array     # (R, n_out, n_model + n) readout
+    Every field is a device array so the whole tuple can be passed as a jit
+    ARGUMENT (embedding wout & co. as compile-time constants blows up the
+    program: ~0.5 GB at full scale). node_map encodes the block-diagonal Win
+    structure (node j reads input node_map[j] = j // q)."""
+
+    a_idx: jax.Array     # (R, n, deg) int32 column indices
+    a_val: jax.Array     # (R, n, deg) adjacency values (radius-scaled)
+    win: jax.Array       # (R, n) block-diagonal input weights
+    wout: jax.Array      # (R, n_out, n_model + n) readout
+    node_map: jax.Array  # (n,) int32: node -> input index
     leakage: float
-    q: int              # nodes per input (n = q * n_in)
 
     @property
     def n(self) -> int:
@@ -41,7 +46,13 @@ class EsnParams(NamedTuple):
 
     @property
     def n_in(self) -> int:
-        return self.win.shape[-1] // self.q
+        import numpy as np
+        return int(np.asarray(self.node_map[-1])) + 1
+
+    @property
+    def q(self) -> int:
+        """Nodes per input (n = q * n_in). Host-side only."""
+        return self.n // self.n_in
 
     @property
     def n_model(self) -> int:
@@ -60,8 +71,8 @@ def spmv_ell(a_idx, a_val, x):
 
 
 def win_apply(params: EsnParams, u):
-    """Win @ u via the block structure: node j gets input j // q."""
-    u_rep = jnp.repeat(u, params.q, axis=-1)     # (R, n)
+    """Win @ u via the block structure: node j gets input node_map[j]."""
+    u_rep = jnp.take(u, params.node_map, axis=-1)    # (R, n)
     return params.win * u_rep
 
 
@@ -95,6 +106,19 @@ def readout(params: EsnParams, x, model_vec=None):
     else:
         aug = xt
     return jnp.einsum("roa,ra->ro", params.wout, aug)
+
+
+def readout_split(params: EsnParams, x, model_vec):
+    """Readout decomposed into the SPEEDY (v_p) and reservoir (v_ml)
+    contributions (mod_reservoir.f90:1458-1469), standardized space.
+
+    Returns (outvec, v_ml, v_p) with outvec = v_p + v_ml.
+    """
+    n_model = params.wout.shape[-1] - params.win.shape[-1]
+    xt = nonlinear_state(x)
+    v_ml = jnp.einsum("roa,ra->ro", params.wout[..., n_model:], xt)
+    v_p = jnp.einsum("roa,ra->ro", params.wout[..., :n_model], model_vec)
+    return v_p + v_ml, v_ml, v_p
 
 
 def synchronize(params: EsnParams, x, inputs):

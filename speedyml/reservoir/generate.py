@@ -85,6 +85,6 @@ def generate_esn(seed: int, R: int, n_in: int, n_out: int, n_model: int,
         a_val=jnp.asarray(val, dtype),
         win=jnp.asarray(win, dtype),
         wout=jnp.asarray(wout),
+        node_map=jnp.asarray(np.arange(n) // q, np.int32),
         leakage=leakage,
-        q=q,
     )

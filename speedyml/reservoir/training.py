@@ -83,7 +83,10 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
         inputs = _add_noise(inputs, noise_mag, rng_key)
 
     T = inputs.shape[0]
+    chunk = min(chunk, T)
     nchunks = T // chunk
+    if nchunks == 0:
+        raise ValueError(f"no training data: T={T} < chunk={chunk}")
     Tc = nchunks * chunk
     inputs = inputs[:Tc].reshape(nchunks, chunk, *inputs.shape[1:])
     targets = targets[:Tc].reshape(nchunks, chunk, *targets.shape[1:])
