@@ -1,0 +1,267 @@
+"""Slab-ocean reservoir: weekly SST prediction coupled to the atmosphere.
+
+TPU-native re-design of the reference's per-region "special" ocean reservoir
+(src/mod_slab_ocean_reservoir.f90): one batched ESN over all ocean-active
+regions, driven on the slow (weekly, timestep_slab=168 h) cadence.
+
+Inputs per region (get_training_data_from_atmo,
+mod_slab_ocean_reservoir.f90:271-405): week-averaged bottom-level atmosphere
+(T, u, v, q) over the halo patch + logp patch + SST patch + TISR patch
+(+ optional OHTC patch); target = SST at the region core one week ahead.
+Regions are active only where the training SST variance exceeds a threshold
+(sst_bool_prediction); elsewhere climatology is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ReservoirConfig
+from ..domain.decomposition import RegionLayout
+from ..domain.standardize import Standardizer
+from .esn import EsnParams, predict_step, synchronize
+from .generate import generate_esn
+from .training import (drive_and_accumulate, drive_discard, init_normal_eq,
+                       ridge_solve)
+
+
+class OceanLayout(NamedTuple):
+    """Gather maps for the ocean reservoir, indexing the SAME packed global
+    supervector as the atmosphere layout."""
+
+    input_index: np.ndarray   # (R, n_in) int32 into gv
+    target_index: np.ndarray  # (R, n_out) int32 into gv (sst core points)
+    sections: dict            # name -> (start, stop) within the input vector
+    n_in: int
+    n_out: int
+    R: int
+
+
+def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
+                       ) -> OceanLayout:
+    """Derive the ocean gather maps from the atmosphere layout.
+
+    bottom_level: sigma level index used for the near-surface atmosphere
+    inputs (default kx-1 = lowest model level)."""
+    kz = L.kx - 1 if bottom_level is None else bottom_level
+    npatch = L.inpy * L.inpx
+    ncore = L.resy * L.resx
+    nv = L.nvars
+
+    sections = {}
+    pos = 0
+    for name, ln in (("atmo_bot", nv * npatch), ("logp", npatch),
+                     ("sst", npatch), ("tisr", npatch)):
+        sections[name] = (pos, pos + ln)
+        pos += ln
+    n_in = pos
+
+    input_index = np.empty((L.R, n_in), np.int32)
+    target_index = np.empty((L.R, ncore), np.int32)
+
+    a_in = L.sizes["atmo3d"]
+    for r in range(L.R):
+        # bottom-level atmo: reuse the atmosphere's input map positions
+        # v + nvars*(xx + inpx*(yy + inpy*kz))
+        src = L.input_index[r]
+        sec = np.empty(nv * npatch, np.int32)
+        for p in range(npatch):
+            for v in range(nv):
+                sec[v + nv * p] = src[a_in[0] + v + nv * (p + npatch * kz)]
+        s0, s1 = sections["atmo_bot"]
+        input_index[r, s0:s1] = sec
+        for name in ("logp", "sst", "tisr"):
+            t0, t1 = L.sizes[name]
+            assert t1 > t0, f"ocean reservoir needs {name} in the layout"
+            u0, u1 = sections[name]
+            input_index[r, u0:u1] = src[t0:t1]
+        # SST core values: global sst section, core patch (reuse the
+        # atmosphere target map's logp core positions for the patch shape)
+        lp0, _ = L.out_sizes["logp"]
+        core_logp = L.target_index[r, lp0:lp0 + ncore]
+        g_lp0 = L.gv_sizes["logp"][0]
+        g_ss0 = L.gv_sizes["sst"][0]
+        target_index[r] = core_logp - g_lp0 + g_ss0
+
+    return OceanLayout(input_index=input_index, target_index=target_index,
+                       sections=sections, n_in=n_in, n_out=ncore, R=L.R)
+
+
+def weekly_average(gv_series: np.ndarray, steps_per_week: int) -> np.ndarray:
+    """Average the 6-hourly transformed supervector over each week window
+    (rolling_average_over_a_period, mod_utilities.f90; ocean-input averaging
+    mpires.f90:776-791). Returns (T_w, gv_len)."""
+    T = gv_series.shape[0]
+    Tw = T // steps_per_week
+    return gv_series[:Tw * steps_per_week].reshape(
+        Tw, steps_per_week, -1).mean(axis=1)
+
+
+def _section_stats(series: np.ndarray, sections: dict, groups: dict,
+                   eps: float = 1e-8):
+    """Per-region scalar stats per (section, group) expanded to per-element
+    (the reference's per-variable scalars, mod_utilities.f90:934-1040).
+
+    groups[name] = number of interleaved variables in the section (stats are
+    computed per variable, shared across patch positions)."""
+    T, R, n = series.shape
+    mean = np.empty((R, n), np.float32)
+    std = np.empty((R, n), np.float32)
+    for name, (s0, s1) in sections.items():
+        if s1 <= s0:
+            continue
+        g = groups.get(name, 1)
+        sec = series[:, :, s0:s1].reshape(T, R, (s1 - s0) // g, g)
+        m = sec.mean(axis=(0, 2))            # (R, g)
+        sd = sec.std(axis=(0, 2)) + eps
+        mean[:, s0:s1] = np.tile(m[:, None, :], (1, (s1 - s0) // g, 1)
+                                 ).reshape(R, -1)
+        std[:, s0:s1] = np.tile(sd[:, None, :], (1, (s1 - s0) // g, 1)
+                                ).reshape(R, -1)
+    return mean, std
+
+
+@dataclasses.dataclass
+class OceanModel:
+    """Trained slab-ocean reservoirs + masks."""
+
+    ol: OceanLayout
+    params: EsnParams
+    stz: Standardizer
+    active: np.ndarray        # (R,) bool: sst variance above threshold
+    rcfg: ReservoirConfig
+    _step_fn: Optional[callable] = None
+    _sync_fn: Optional[callable] = None
+
+    @property
+    def steps_per_week(self) -> int:
+        return self.rcfg.timestep_slab // self.rcfg.timestep
+
+    def _build(self):
+        # weights/stats/maps are jit ARGUMENTS, not closure constants
+        # (see HybridModel._build_step)
+        def step(params, stz, idx, x, gv_weekmean):
+            u = (gv_weekmean[idx] - stz.in_mean) / stz.in_std
+            x, out_std = predict_step(params, x, u)
+            return x, out_std * stz.out_std + stz.out_mean
+
+        def sync(params, stz, idx, x, gv_series):
+            u = (gv_series[:, idx] - stz.in_mean) / stz.in_std
+            return synchronize(params, x, u)
+
+        return jax.jit(step), jax.jit(sync)
+
+    def _maps(self):
+        if not hasattr(self, "_idx") or self._idx is None:
+            self._idx = jnp.asarray(self.ol.input_index)
+        return self._idx
+
+    def step(self, x, gv_weekmean):
+        """One weekly step: returns (x', sst core values (R, n_out) [K])."""
+        if self._step_fn is None:
+            self._step_fn, self._sync_fn = self._build()
+        return self._step_fn(self.params, self.stz, self._maps(), x,
+                             jnp.asarray(gv_weekmean, jnp.float32))
+
+    def synchronize(self, gv_weekly: np.ndarray, x=None):
+        if self._step_fn is None:
+            self._step_fn, self._sync_fn = self._build()
+        if x is None:
+            x = jnp.zeros((self.ol.R, self.params.n), jnp.float32)
+        return self._sync_fn(self.params, self.stz, self._maps(), x,
+                             jnp.asarray(gv_weekly, jnp.float32))
+
+    def compose_sst(self, sst_pred_core, sst_clim: np.ndarray,
+                    layout: RegionLayout):
+        """Blend predicted SST (active regions) with climatology: the
+        reference's sst_bool_prediction + sea-mask freeze
+        (mod_slab_ocean_reservoir.f90:833-867, mpires.f90:456-563)."""
+        L = layout
+        grid = np.asarray(sst_clim, np.float64).copy()
+        flat = grid.reshape(-1)
+        g_ss0 = L.gv_sizes["sst"][0]
+        tgt = self.ol.target_index - g_ss0        # flat grid indices
+        pred = np.asarray(sst_pred_core, np.float64)
+        act = self.active
+        flat[tgt[act].reshape(-1)] = pred[act].reshape(-1)
+        return np.maximum(flat.reshape(grid.shape), 271.0)
+
+
+def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
+                gv_truth: np.ndarray, seed: int = 100,
+                bottom_level: Optional[int] = None,
+                region_block: int = 0) -> OceanModel:
+    """Train the slab-ocean reservoirs from the 6-hourly truth supervector
+    (train_slab_ocean_model, mod_slab_ocean_reservoir.f90:172-269)."""
+    ol = build_ocean_layout(L, bottom_level)
+    spw = rcfg.timestep_slab // rcfg.timestep
+    gv_w = weekly_average(gv_truth, spw)
+    Tw = gv_w.shape[0]
+    assert Tw > 4, "need more than 4 weekly samples to train the slab ocean"
+
+    inputs = gv_w[:, ol.input_index]                       # (Tw, R, n_in)
+    # targets: endpoint SST at week boundaries (not averaged)
+    ends = np.arange(1, Tw + 1) * spw - 1
+    targets_raw = gv_truth[ends][:, ol.target_index]       # (Tw, R, n_out)
+
+    in_mean, in_std = _section_stats(
+        inputs, ol.sections, groups={"atmo_bot": L.nvars})
+    out_sec = {"sst": (0, ol.n_out)}
+    out_mean, out_std = _section_stats(targets_raw, out_sec, groups={})
+    stz = Standardizer(in_mean=jnp.asarray(in_mean),
+                       in_std=jnp.asarray(in_std),
+                       out_mean=jnp.asarray(out_mean),
+                       out_std=jnp.asarray(out_std))
+
+    # active where SST varies (sst_bool_prediction threshold)
+    sst_var = targets_raw.var(axis=(0, 2))                 # (R,)
+    active = sst_var > rcfg.sst_variance_threshold
+
+    u_all = (inputs - in_mean) / in_std
+    y_all = (targets_raw - out_mean) / out_std
+
+    R = ol.R
+    blocks = [np.arange(R)] if region_block in (0, R) else [
+        np.arange(i, min(i + region_block, R))
+        for i in range(0, R, region_block)]
+    key = jax.random.PRNGKey(seed)
+    idx_p, val_p, win_p, wout_p = [], [], [], []
+    q_nodes = None
+    discard = max(1, min(Tw // 4, 8))
+    for bi, blk in enumerate(blocks):
+        params = generate_esn(seed + 31 * bi, len(blk), ol.n_in, ol.n_out,
+                              n_model=0, m_target=rcfg.slab_nodes,
+                              deg=rcfg.degree, sigma=rcfg.slab_sigma,
+                              leakage=rcfg.slab_leakage,
+                              radii=np.full(len(blk), 0.9))
+        q_nodes = params.q
+        kd, kt, key = jax.random.split(key, 3)
+        x = jnp.zeros((len(blk), params.n), jnp.float32)
+        x = drive_discard(params, x, u_all[:discard, blk],
+                          noise_mag=rcfg.slab_noise_std, rng_key=kd)
+        acc = init_normal_eq(params, ol.n_out)._replace(x=x)
+        acc = drive_and_accumulate(
+            params, acc, u_all[discard:-1, blk], y_all[discard + 1:, blk],
+            noise_mag=rcfg.slab_noise_std, rng_key=kt,
+            chunk=min(16, max(1, (Tw - discard - 1))))
+        wout = ridge_solve(acc, 0, rcfg.slab_beta_res, 1.0)
+        idx_p.append(np.asarray(params.a_idx))
+        val_p.append(np.asarray(params.a_val))
+        win_p.append(np.asarray(params.win))
+        wout_p.append(np.asarray(wout, np.float32))
+
+    n_nodes = win_p[0].shape[1]
+    params_all = EsnParams(
+        a_idx=jnp.asarray(np.concatenate(idx_p)),
+        a_val=jnp.asarray(np.concatenate(val_p)),
+        win=jnp.asarray(np.concatenate(win_p)),
+        wout=jnp.asarray(np.concatenate(wout_p)),
+        node_map=jnp.asarray(np.arange(n_nodes) // q_nodes, np.int32),
+        leakage=rcfg.slab_leakage)
+    return OceanModel(ol=ol, params=params_all, stz=stz, active=active,
+                      rcfg=rcfg)

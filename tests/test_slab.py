@@ -1,0 +1,119 @@
+"""Slab-ocean reservoir tests (reference: mod_slab_ocean_reservoir.f90)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from speedyml.reservoir.slab import (build_ocean_layout, train_ocean,
+                                     weekly_average)
+from speedyml.hybrid.experiment import (HybridRunner, train_hybrid,
+                                        transform_and_pack)
+from tests.test_hybrid import _small_layout, _small_rcfg, _synthetic_truth
+
+
+def _ocean_rcfg(**kw):
+    # fast weekly cadence for tests: 4 atmo steps per "week"
+    return _small_rcfg(timestep_slab=24, slab_nodes=400,
+                       slab_noise_std=0.02, sst_variance_threshold=0.2, **kw)
+
+
+def test_ocean_layout_maps():
+    L = _small_layout()
+    ol = build_ocean_layout(L)
+    assert ol.n_in == (L.nvars + 3) * L.inpy * L.inpx
+    assert ol.n_out == L.resy * L.resx
+    # input sst section must point into the gv sst section
+    s0, s1 = ol.sections["sst"]
+    g0, g1 = L.gv_sizes["sst"]
+    assert np.all(ol.input_index[:, s0:s1] >= g0)
+    assert np.all(ol.input_index[:, s0:s1] < g1)
+    # target indices are core points of the sst section, all distinct
+    assert np.all(ol.target_index >= g0) and np.all(ol.target_index < g1)
+    flat = ol.target_index.reshape(-1)
+    assert len(np.unique(flat)) == len(flat) == L.il * L.ix
+    # bottom-level atmo inputs point into the last sigma level's slab
+    a0, a1 = ol.sections["atmo_bot"]
+    ga0 = L.gv_sizes["atmo3d"][0]
+    ngp = L.il * L.ix
+    lev = (ol.input_index[:, a0:a1] - ga0) // ngp % L.kx
+    assert np.all(lev == L.kx - 1)
+
+
+def test_weekly_average():
+    T, n = 12, 7
+    s = np.arange(T * n, dtype=np.float64).reshape(T, n)
+    w = weekly_average(s, 4)
+    assert w.shape == (3, n)
+    np.testing.assert_allclose(w[0], s[:4].mean(axis=0))
+
+
+def test_train_ocean_and_predict():
+    """Trained slab reservoirs beat persistence-of-climatology on the
+    synthetic SST wave (train_slab_ocean_model ->
+    predict_slab_ml, mod_slab_ocean_reservoir.f90:172-269, 1318-1363)."""
+    L = _small_layout()
+    rcfg = _ocean_rcfg()
+    T = 800
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=21)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    om = train_ocean(L, rcfg, gv, seed=5)
+    spw = om.steps_per_week
+    assert spw == 4
+    assert om.active.any(), "synthetic SST varies: some regions active"
+
+    # sync on weekly means, then predict one week ahead
+    gv_w = weekly_average(gv, spw)
+    Tw = gv_w.shape[0]
+    x = om.synchronize(gv_w[:Tw - 2])
+    x, sst_core = om.step(x, gv_w[Tw - 2])
+    # truth at end of week Tw-1
+    end = (Tw - 1) * spw + spw - 1
+    true_sst = gv[end][om.ol.target_index]
+    pred_err = np.abs(np.asarray(sst_core) - true_sst)[om.active].mean()
+    clim_err = np.abs(np.asarray(om.stz.out_mean) - true_sst)[om.active].mean()
+    assert pred_err < 0.6 * clim_err, (pred_err, clim_err)
+
+    # compose_sst: active cores replaced, everything >= 271 K
+    clim = np.full((L.il, L.ix), 290.0)
+    grid = om.compose_sst(np.asarray(sst_core), clim, L)
+    assert grid.shape == (L.il, L.ix)
+    assert grid.min() >= 271.0
+    n_active_pts = om.active.sum() * om.ol.n_out
+    assert (grid != 290.0).sum() <= n_active_pts
+
+
+def test_runner_with_ocean():
+    """HybridRunner steps the ocean reservoir every steps_per_week and the
+    SST feedback changes after the first week boundary."""
+    L = _small_layout()
+    rcfg = _ocean_rcfg()
+    T = 600
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=22)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    hm = train_hybrid(L, rcfg, gv, None, seed=9)
+    om = train_ocean(L, rcfg, gv, seed=6)
+
+    x = hm.synchronize(gv[-40:])
+    s = L.gv_sizes
+    last = gv[-1]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+    sst_last = last[s["sst"][0]:s["sst"][1]].reshape(L.il, L.ix)
+
+    class _R(HybridRunner):
+        def _sst_tisr(self, date):
+            return sst_last.copy(), np.zeros((L.il, L.ix))
+
+    runner = _R(hm, None, clim=object(), dy=object())
+    from speedyml.core.calendar import ModelDate
+    out = runner.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0),
+                     n_steps=10, ocean=om, sst0=sst_last)
+    assert out["sst"].shape[0] == 10
+    # first 4 steps use sst0; after the week boundary the ocean prediction
+    # replaces SST over active regions
+    np.testing.assert_allclose(out["sst"][0], sst_last, atol=1e-6)
+    assert not np.allclose(out["sst"][5], sst_last)
+    assert out["x_ocean"] is not None
+    assert np.isfinite(out["atmo"]).all()
