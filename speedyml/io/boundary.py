@@ -18,8 +18,16 @@ def read_boundary_records(path: str, ix: int = 96, il: int = 48) -> np.ndarray:
 
     Rows are flipped so row 0 = southernmost latitude (the model's internal
     convention), mirroring load_boundary_file's `inp(:,nlat+1-i)`.
-    Values <= -999 (missing) are zeroed.
+    Values <= -999 (missing) are zeroed. Uses the native mmap decoder
+    (native/speedy_io.cpp) when built, numpy otherwise.
     """
+    from .native_loader import read_records_native
+    try:
+        native = read_records_native(path, ix, il)
+    except Exception:
+        native = None
+    if native is not None:
+        return native
     raw = np.fromfile(path, dtype="<f4")
     nrec = raw.size // (ix * il)
     assert nrec * ix * il == raw.size, f"file {path} not a whole number of fields"
