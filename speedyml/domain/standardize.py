@@ -40,8 +40,8 @@ def compute_stats(layout: RegionLayout, inputs: np.ndarray,
 
     npatch = L.inpy * L.inpx
     s0, s1 = L.sizes["atmo3d"]
-    atmo = inputs[:, :, s0:s1].reshape(T, R, L.kx, npatch, L.nvars)
-    m = atmo.mean(axis=(0, 3))                        # (R, kx, nvars)
+    atmo = inputs[:, :, s0:s1].reshape(T, R, L.inpz, npatch, L.nvars)
+    m = atmo.mean(axis=(0, 3))                        # (R, inpz, nvars)
     sd = atmo.std(axis=(0, 3)) + eps
     in_mean[:, s0:s1] = np.repeat(m[:, :, None, :], npatch, axis=2
                                   ).reshape(R, -1)
@@ -58,13 +58,16 @@ def compute_stats(layout: RegionLayout, inputs: np.ndarray,
             in_std[:, t0:t1] = sd2[:, None]
 
     # output stats = the same stats restricted to the core sections
+    # (core level zz sits at input slab position zz + vert_overlap)
     out_mean = np.empty((R, L.n_out))
     out_std = np.empty((R, L.n_out))
     o0, o1 = L.out_sizes["atmo3d"]
     ncore = L.resy * L.resx
-    out_mean[:, o0:o1] = np.repeat(m[:, :, None, :], ncore, axis=2
+    mc = m[:, L.vert_overlap:L.vert_overlap + L.kz_core, :]
+    sdc = sd[:, L.vert_overlap:L.vert_overlap + L.kz_core, :]
+    out_mean[:, o0:o1] = np.repeat(mc[:, :, None, :], ncore, axis=2
                                    ).reshape(R, -1)
-    out_std[:, o0:o1] = np.repeat(sd[:, :, None, :], ncore, axis=2
+    out_std[:, o0:o1] = np.repeat(sdc[:, :, None, :], ncore, axis=2
                                   ).reshape(R, -1)
     for name in ("logp", "precip"):
         if name in L.out_sizes:

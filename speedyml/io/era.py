@@ -1,0 +1,158 @@
+"""ERA5 training-data ingestion (the reference's regridded-ERA5 readers).
+
+File/variable schema follows the reference (speedy_res_interface.f90:277-436,
+read_era; mod_io.f90:1905-2282 parallel hyperslab readers):
+
+  era_5_y{YYYY}_regridded_mpi_fixed_var_gcc.nc
+      Temperature / U-wind / V-wind / Specific_Humidity (lon, lat, lev, time)
+      logp (lon, lat, time)
+  toa_incident_solar_radiation_{YYYY}_regridded_classic4.nc : tisr
+  (optional) SST / p6hr / sohtc300 companions
+  restart_6hour_y{YYYY}.nc : precomputed one-window SPEEDY forecasts
+      (read_model_states, speedy_res_interface.f90:637-723)
+
+This implementation reads NetCDF-3 (classic) files via scipy. The reference
+ecosystem's NetCDF-4/HDF5 files must be converted once with `nccopy -k
+classic` (no netCDF4/HDF5 stack in this image); the variable layout is
+unchanged. Where the reference scatters per-region hyperslabs over MPI-IO
+(one read per rank per region), here whole fields are memory-mapped and the
+per-region slicing happens in the packed-supervector gather
+(domain.decomposition / native gather), which is the TPU-resident analog.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+from scipy.io import netcdf_file
+
+VAR4D = ("Temperature", "U-wind", "V-wind", "Specific_Humidity")
+
+
+def _native(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a)
+    return a.astype(a.dtype.newbyteorder("="))
+
+
+def _open(path: str) -> netcdf_file:
+    try:
+        return netcdf_file(path, "r", mmap=True)
+    except Exception as e:  # HDF5-based NetCDF-4 gives a format error here
+        raise OSError(
+            f"{path}: not a NetCDF-3 classic file ({e}). NetCDF-4/HDF5 "
+            "inputs must be converted once: nccopy -k classic in.nc out.nc"
+        ) from e
+
+
+def _to_tzyx(a: np.ndarray) -> np.ndarray:
+    """Reference files store (lon, lat, lev, time) Fortran-style; netCDF
+    dimension order in the file is therefore (time, lev, lat, lon) C-style.
+    Accept either 4-D orientation by checking which end looks like time."""
+    return a  # files written C-style (time, lev, lat, lon) need no transpose
+
+
+def read_era_year(path: str, q_to_gkg: bool = True) -> dict:
+    """Read one regridded ERA5 year file.
+
+    Returns dict(atmo (T, 4, kx, il, ix) in (T, u, v, q[g/kg]) order,
+    logp (T, il, ix), plus any of sst/p6hr/sohtc300 present).
+    The q -> g/kg x1000 and clamp mirror speedy_res_interface.f90:772-790.
+    """
+    f = _open(path)
+    try:
+        fields = []
+        for name in VAR4D:
+            key = name if name in f.variables else name.replace("_", "-")
+            a = _native(f.variables[key][:]).astype(np.float32)
+            fields.append(_to_tzyx(a))
+        atmo = np.stack(fields, axis=1)     # (T, 4, kx, il, ix)
+        if q_to_gkg:
+            q = atmo[:, 3] * 1000.0
+            atmo[:, 3] = np.clip(q, 0.0, 25.0)
+        out = {"atmo": atmo,
+               "logp": _native(f.variables["logp"][:]).astype(np.float32)}
+        for extra in ("SST", "p6hr", "sohtc300"):
+            if extra in f.variables:
+                out[extra.lower()] = _native(
+                    f.variables[extra][:]).astype(np.float32)
+        return out
+    finally:
+        f.close()
+
+
+def read_tisr_year(path: str) -> np.ndarray:
+    """(T, il, ix) top-incident solar radiation
+    (speedy_res_interface.f90:368-370)."""
+    f = _open(path)
+    try:
+        return np.maximum(
+            _native(f.variables["tisr"][:]).astype(np.float32), 0.0)
+    finally:
+        f.close()
+
+
+def read_model_states(path: str) -> dict:
+    """Precomputed SPEEDY one-window forecasts
+    ("restart_6hour_yYYYY.nc", read_model_states,
+    speedy_res_interface.f90:637-723). Same variable schema as ERA files."""
+    return read_era_year(path, q_to_gkg=False)
+
+
+def era_file_name(dirpath: str, year: int,
+                  suffix: str = "_regridded_mpi_fixed_var_gcc") -> str:
+    return os.path.join(dirpath, f"era_5_y{year}{suffix}.nc")
+
+
+def tisr_file_name(dirpath: str, year: int) -> str:
+    return os.path.join(
+        dirpath, f"toa_incident_solar_radiation_{year}_regridded_classic4.nc")
+
+
+def read_era_range(dirpath: str, y0: int, y1: int,
+                   tisr_dir: Optional[str] = None,
+                   suffix: str = "_regridded_mpi_fixed_var_gcc") -> dict:
+    """Concatenate years [y0, y1] (the reference's year loop,
+    speedy_res_interface.f90:299-436)."""
+    parts = [read_era_year(era_file_name(dirpath, y)) for y in
+             range(y0, y1 + 1)]
+    out = {"atmo": np.concatenate([p["atmo"] for p in parts]),
+           "logp": np.concatenate([p["logp"] for p in parts])}
+    for extra in ("sst", "p6hr", "sohtc300"):
+        if all(extra in p for p in parts):
+            out[extra] = np.concatenate([p[extra] for p in parts])
+    if tisr_dir is not None:
+        out["tisr"] = np.concatenate(
+            [read_tisr_year(tisr_file_name(tisr_dir, y))
+             for y in range(y0, y1 + 1)])
+    return out
+
+
+def write_era_year(path: str, atmo: np.ndarray, logp: np.ndarray,
+                   sst: Optional[np.ndarray] = None,
+                   p6hr: Optional[np.ndarray] = None,
+                   tisr: Optional[np.ndarray] = None) -> None:
+    """Write an ERA-schema NetCDF-3 file (useful for caching self-generated
+    truth in the reference's interchange format; write path mirrors
+    mod_io.f90:311-436 variable naming)."""
+    T, nv, kx, il, ix = atmo.shape
+    f = netcdf_file(path, "w")
+    try:
+        f.createDimension("Timestep", None)
+        f.createDimension("Sigma_Level", kx)
+        f.createDimension("Lat", il)
+        f.createDimension("Lon", ix)
+        names = ("Temperature", "U-wind", "V-wind", "Specific_Humidity")
+        for i, name in enumerate(names):
+            v = f.createVariable(name, "f4", ("Timestep", "Sigma_Level",
+                                              "Lat", "Lon"))
+            v[:] = atmo[:, i]
+        v = f.createVariable("logp", "f4", ("Timestep", "Lat", "Lon"))
+        v[:] = logp
+        for name, arr in (("SST", sst), ("p6hr", p6hr), ("tisr", tisr)):
+            if arr is not None:
+                v = f.createVariable(name, "f4", ("Timestep", "Lat", "Lon"))
+                v[:] = arr
+    finally:
+        f.close()

@@ -78,7 +78,9 @@ def save_model(path: str, hm) -> None:
                     layout=dict(ix=hm.layout.ix, il=hm.layout.il,
                                 kx=hm.layout.kx, nvars=hm.layout.nvars,
                                 resx=hm.layout.resx, resy=hm.layout.resy,
-                                overlap=hm.layout.overlap))
+                                overlap=hm.layout.overlap,
+                                nz_slabs=hm.layout.nz,
+                                vert_overlap=hm.layout.vert_overlap))
         f.meta_json = json.dumps(meta).encode()
     finally:
         f.close()
@@ -119,7 +121,10 @@ def load_model(path: str, radang_deg: Optional[np.ndarray] = None):
     rcfg = ReservoirConfig(**meta["rcfg"])
     layout = build_layout(ix=lo["ix"], il=lo["il"], kx=lo["kx"],
                           nvars=lo["nvars"], resx=lo["resx"], resy=lo["resy"],
-                          overlap=lo["overlap"], radang_deg=radang_deg)
+                          overlap=lo["overlap"],
+                          nz_slabs=lo.get("nz_slabs", 1),
+                          vert_overlap=lo.get("vert_overlap", 1),
+                          radang_deg=radang_deg)
     return HybridModel(layout=layout, params=params, stz=stz, rcfg=rcfg,
                        ml_only=bool(meta["ml_only"]))
 
@@ -236,8 +241,8 @@ def _stats_to_reference_order(hm):
     s0, s1 = L.sizes["atmo3d"]
     # element (v + nvars*(xx + inpx*(yy + inpy*z))): stats constant over the
     # patch -> take patch position 0 for each (z, v)
-    m3 = in_mean[:, s0:s1].reshape(L.R, L.kx, npatch, L.nvars)[:, :, 0, :]
-    s3 = in_std[:, s0:s1].reshape(L.R, L.kx, npatch, L.nvars)[:, :, 0, :]
+    m3 = in_mean[:, s0:s1].reshape(L.R, L.inpz, npatch, L.nvars)[:, :, 0, :]
+    s3 = in_std[:, s0:s1].reshape(L.R, L.inpz, npatch, L.nvars)[:, :, 0, :]
     # reference order: (var, level) var-major
     parts_m = [m3.transpose(0, 2, 1).reshape(L.R, -1)]
     parts_s = [s3.transpose(0, 2, 1).reshape(L.R, -1)]
@@ -258,9 +263,9 @@ def _stats_from_reference_order(layout, means, stds):
     L = layout
     R = L.R
     npatch = L.inpy * L.inpx
-    nvl = L.nvars * L.kx
-    m3 = means[:, :nvl].reshape(R, L.nvars, L.kx).transpose(0, 2, 1)
-    s3 = stds[:, :nvl].reshape(R, L.nvars, L.kx).transpose(0, 2, 1)
+    nvl = L.nvars * L.inpz
+    m3 = means[:, :nvl].reshape(R, L.nvars, L.inpz).transpose(0, 2, 1)
+    s3 = stds[:, :nvl].reshape(R, L.nvars, L.inpz).transpose(0, 2, 1)
     in_mean = np.empty((R, L.n_in), np.float32)
     in_std = np.empty((R, L.n_in), np.float32)
     a0, a1 = L.sizes["atmo3d"]
@@ -277,8 +282,10 @@ def _stats_from_reference_order(layout, means, stds):
     out_std = np.empty((R, L.n_out), np.float32)
     ncore = L.resy * L.resx
     o0, o1 = L.out_sizes["atmo3d"]
-    out_mean[:, o0:o1] = np.repeat(m3[:, :, None, :], ncore, 2).reshape(R, -1)
-    out_std[:, o0:o1] = np.repeat(s3[:, :, None, :], ncore, 2).reshape(R, -1)
+    mc = m3[:, L.vert_overlap:L.vert_overlap + L.kz_core, :]
+    sc = s3[:, L.vert_overlap:L.vert_overlap + L.kz_core, :]
+    out_mean[:, o0:o1] = np.repeat(mc[:, :, None, :], ncore, 2).reshape(R, -1)
+    out_std[:, o0:o1] = np.repeat(sc[:, :, None, :], ncore, 2).reshape(R, -1)
     k = nvl
     for name in ("logp", "precip"):
         if name in L.out_sizes:

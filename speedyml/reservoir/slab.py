@@ -46,12 +46,19 @@ def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
                        ) -> OceanLayout:
     """Derive the ocean gather maps from the atmosphere layout.
 
+    Ocean reservoirs are per HORIZONTAL region (R_ocean = nregy*nregx, one
+    per column regardless of the atmosphere's vertical slabs); inputs index
+    the global supervector directly.
+
     bottom_level: sigma level index used for the near-surface atmosphere
     inputs (default kx-1 = lowest model level)."""
+    from ..domain.decomposition import _patch_indices
+
     kz = L.kx - 1 if bottom_level is None else bottom_level
     npatch = L.inpy * L.inpx
     ncore = L.resy * L.resx
     nv = L.nvars
+    ngp = L.il * L.ix
 
     sections = {}
     pos = 0
@@ -61,35 +68,32 @@ def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
         pos += ln
     n_in = pos
 
-    input_index = np.empty((L.R, n_in), np.int32)
-    target_index = np.empty((L.R, ncore), np.int32)
+    Ro = L.nregy * L.nregx
+    input_index = np.empty((Ro, n_in), np.int32)
+    target_index = np.empty((Ro, ncore), np.int32)
 
-    a_in = L.sizes["atmo3d"]
-    for r in range(L.R):
-        # bottom-level atmo: reuse the atmosphere's input map positions
-        # v + nvars*(xx + inpx*(yy + inpy*kz))
-        src = L.input_index[r]
+    a0 = L.gv_sizes["atmo3d"][0]
+    for r in range(Ro):
+        ry, rx = divmod(r, L.nregx)
+        patch = _patch_indices(L.il, L.ix, ry * L.resy - L.overlap,
+                               rx * L.resx - L.overlap, L.inpy, L.inpx)
         sec = np.empty(nv * npatch, np.int32)
         for p in range(npatch):
             for v in range(nv):
-                sec[v + nv * p] = src[a_in[0] + v + nv * (p + npatch * kz)]
+                sec[v + nv * p] = a0 + (v * L.kx + kz) * ngp + patch[p]
         s0, s1 = sections["atmo_bot"]
         input_index[r, s0:s1] = sec
         for name in ("logp", "sst", "tisr"):
-            t0, t1 = L.sizes[name]
-            assert t1 > t0, f"ocean reservoir needs {name} in the layout"
+            g0, g1 = L.gv_sizes[name]
+            assert g1 > g0, f"ocean reservoir needs {name} in the layout"
             u0, u1 = sections[name]
-            input_index[r, u0:u1] = src[t0:t1]
-        # SST core values: global sst section, core patch (reuse the
-        # atmosphere target map's logp core positions for the patch shape)
-        lp0, _ = L.out_sizes["logp"]
-        core_logp = L.target_index[r, lp0:lp0 + ncore]
-        g_lp0 = L.gv_sizes["logp"][0]
-        g_ss0 = L.gv_sizes["sst"][0]
-        target_index[r] = core_logp - g_lp0 + g_ss0
+            input_index[r, u0:u1] = g0 + patch
+        core = _patch_indices(L.il, L.ix, ry * L.resy, rx * L.resx,
+                              L.resy, L.resx)
+        target_index[r] = L.gv_sizes["sst"][0] + core
 
     return OceanLayout(input_index=input_index, target_index=target_index,
-                       sections=sections, n_in=n_in, n_out=ncore, R=L.R)
+                       sections=sections, n_in=n_in, n_out=ncore, R=Ro)
 
 
 def weekly_average(gv_series: np.ndarray, steps_per_week: int) -> np.ndarray:

@@ -1,0 +1,69 @@
+"""ERA5-schema IO, restart checkpoint, calendar markers, linalg parity."""
+
+import numpy as np
+
+from speedyml.core.calendar import ModelDate, prediction_markers
+from speedyml.io.era import (era_file_name, read_era_year, read_model_states,
+                             write_era_year)
+from speedyml.reservoir.linalg import mldivide, pinv_svd
+
+
+def test_era_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    T, kx, il, ix = 5, 3, 4, 8
+    atmo = rng.normal(size=(T, 4, kx, il, ix)).astype(np.float32)
+    atmo[:, 3] = np.abs(atmo[:, 3]) * 1e-3        # q in kg/kg
+    logp = rng.normal(size=(T, il, ix)).astype(np.float32)
+    sst = (290 + rng.normal(size=(T, il, ix))).astype(np.float32)
+    p = era_file_name(str(tmp_path), 1999, suffix="")
+    write_era_year(p, atmo, logp, sst=sst)
+
+    d = read_era_year(p)
+    np.testing.assert_allclose(d["atmo"][:, :3], atmo[:, :3], rtol=1e-6)
+    # q converted to g/kg with [0, 25] clamp
+    np.testing.assert_allclose(d["atmo"][:, 3],
+                               np.clip(atmo[:, 3] * 1000, 0, 25), rtol=1e-5)
+    np.testing.assert_allclose(d["logp"], logp, rtol=1e-6)
+    np.testing.assert_allclose(d["sst"], sst, rtol=1e-6)
+
+    m = read_model_states(p)                      # no unit conversion
+    np.testing.assert_allclose(m["atmo"][:, 3], atmo[:, 3], rtol=1e-6)
+
+
+def test_speedy_restart_roundtrip(tmp_path):
+    from speedyml.io.checkpoint import (load_speedy_restart,
+                                        save_speedy_restart)
+    from speedyml.dynamics.state import zero_state
+    import types
+
+    st = zero_state(2, 5, 6, 1, np.float32)
+    st = st._replace(vor=st.vor + 1.5)
+    cpl = types.SimpleNamespace(sst_am=np.full((4, 8), 290.0),
+                                stl_am=np.full((4, 8), 280.0))
+    p = str(tmp_path / "restart.npz")
+    save_speedy_restart(p, st, cpl, ModelDate(1990, 6, 15, 12))
+    st2, cpl2, date = load_speedy_restart(p)
+    np.testing.assert_array_equal(np.asarray(st.vor), st2.vor)
+    np.testing.assert_array_equal(cpl2["sst_am"], cpl.sst_am)
+    assert (date.iyear, date.imonth, date.iday, date.ihour) == (1990, 6, 15, 12)
+
+
+def test_prediction_markers():
+    marks = prediction_markers(ModelDate(1999, 12, 31, 18), 4, 12)
+    assert (marks[0].iday, marks[0].ihour) == (31, 18)
+    assert (marks[1].iyear, marks[1].imonth, marks[1].iday,
+            marks[1].ihour) == (2000, 1, 1, 6)
+    assert marks[3].ihour == 6 and marks[3].iday == 2
+
+
+def test_linalg_parity():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(6, 6)) + 6 * np.eye(6)
+    X_true = rng.normal(size=(3, 6))
+    B = X_true @ A
+    np.testing.assert_allclose(mldivide(A, B), X_true, rtol=1e-8)
+    # pinv on a diagonal matrix (the reference's unit test,
+    # tests/mod_unit_test.f90:16-47)
+    D = np.diag([2.0, 4.0, 8.0])
+    np.testing.assert_allclose(pinv_svd(D), np.diag([0.5, 0.25, 0.125]),
+                               rtol=1e-10)
