@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--spinup-days", type=int, default=5)
     ap.add_argument("--region-block", type=int, default=192)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--discard", type=int, default=24,
+                    help="discard length in hours (reference: 240)")
+    ap.add_argument("--prior", type=float, default=0.0)
+    ap.add_argument("--beta-res", type=float, default=1e-3)
+    ap.add_argument("--skip-ml-only", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +60,8 @@ def main():
           flush=True)
 
     rcfg = ReservoirConfig(nodes_per_input=576, degree=6, noise_std=0.05,
-                           discardlength=24, synclength=48)
+                           discardlength=args.discard, synclength=48,
+                           prior_val=args.prior, beta_res=args.beta_res)
     L = build_layout(radang_deg=np.degrees(np.asarray(sp.dy.tables.radang)))
     gv_truth = transform_and_pack(L, truth.atmo, truth.logp, truth.precip,
                                   truth.sst, truth.tisr, rcfg.precip_epsilon)
@@ -98,6 +104,9 @@ def main():
     print("  T RMS persistence:", [f"{r:.3f}" for r in rms_per])
 
     # ml-only from the same start
+    if args.skip_ml_only:
+        print("DEMO OK")
+        return
     hm_ml = train_hybrid(L, rcfg, gv_truth, None, seed=0,
                          region_block=args.region_block)
     x_ml = hm_ml.synchronize(gv_truth[-n_sync:])

@@ -73,14 +73,20 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     akap = dy.akap
     rgas = dy.rgas
 
-    # --- grid converts (batched over levels) ---
-    vorg = T.spec_to_grid(fdyn.vor)                    # (kx, il, ix)
-    divg = T.spec_to_grid(fdyn.div)
-    tg = T.spec_to_grid(fdyn.t)
-    trg = T.spec_to_grid(fdyn.tr)                      # (ntr, kx, il, ix)
+    # --- grid converts: ONE batched transform per cos-scaling group
+    # (stacking all fields maximizes the MXU batch; splitting is free) ---
+    kx = fdyn.vor.shape[0]
+    ntr = fdyn.tr.shape[0]
+    trf = fdyn.tr.reshape(ntr * kx, *fdyn.tr.shape[2:])
+    g1 = T.spec_to_grid(jnp.concatenate([fdyn.vor, fdyn.div, fdyn.t, trf]))
+    vorg, divg, tg = g1[:kx], g1[kx:2 * kx], g1[2 * kx:3 * kx]
+    trg = g1[3 * kx:].reshape(ntr, kx, *g1.shape[1:])
+
     ucosm, vcosm = T.uvspec(fdyn.vor, fdyn.div)
-    ug = T.spec_to_grid(ucosm, kcos=2)
-    vg = T.spec_to_grid(vcosm, kcos=2)
+    pdx_s, pdy_s = T.grad(fdyn.ps)
+    g2 = T.spec_to_grid(jnp.concatenate(
+        [ucosm, vcosm, pdx_s[None], pdy_s[None]]), kcos=2)
+    ug, vg, px, py = g2[:kx], g2[kx:2 * kx], g2[2 * kx], g2[2 * kx + 1]
 
     vorg_abs = vorg + dy.coriol[:, None]               # add planetary vorticity
 
@@ -90,9 +96,6 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     dmean = jnp.sum(divg * w, axis=0)
 
     # --- log-ps tendency (dyn_grtend.f90:94-103) ---
-    pdx_s, pdy_s = T.grad(fdyn.ps)
-    px = T.spec_to_grid(pdx_s, kcos=2)
-    py = T.spec_to_grid(pdy_s, kcos=2)
     psdt = T.grid_to_spec(-umean * px - vmean * py)
     psdt = psdt.at[0, :, 0].set(0.0)
 
@@ -152,16 +155,27 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
         ttend = ttend + dtt
         trtend = trtend + dtrt
 
-    # --- back to spectral (dyn_grtend.f90:233-277) ---
-    vordt, divdt = T.vdspec(utend, vtend, kcos=2)
+    # --- back to spectral (dyn_grtend.f90:233-277): again one batched
+    # vdspec over [wind | T-flux | tracer-flux] and one grid_to_spec over
+    # [ke | ttend | trtend] ---
+    u_side = jnp.concatenate([utend, -ug * tgg,
+                              (-ug[None] * trg).reshape(ntr * kx,
+                                                        *ug.shape[1:])])
+    v_side = jnp.concatenate([vtend, -vg * tgg,
+                              (-vg[None] * trg).reshape(ntr * kx,
+                                                        *vg.shape[1:])])
+    vors, divs = T.vdspec(u_side, v_side, kcos=2)
+    vordt = vors[:kx]
+    divdt = divs[:kx]
+    tdt_flux = divs[kx:2 * kx]
+    trdt_flux = divs[2 * kx:].reshape(ntr, kx, *divs.shape[1:])
+
     ke = 0.5 * (ug * ug + vg * vg)
-    divdt = divdt - T.lap(T.grid_to_spec(ke))
-
-    _, tdt_flux = T.vdspec(-ug * tgg, -vg * tgg, kcos=2)
-    tdt = tdt_flux + T.grid_to_spec(ttend)
-
-    _, trdt_flux = T.vdspec(-ug[None] * trg, -vg[None] * trg, kcos=2)
-    trdt = trdt_flux + T.grid_to_spec(trtend)
+    s1 = T.grid_to_spec(jnp.concatenate(
+        [ke, ttend, trtend.reshape(ntr * kx, *ttend.shape[1:])]))
+    divdt = divdt - T.lap(s1[:kx])
+    tdt = tdt_flux + s1[kx:2 * kx]
+    trdt = trdt_flux + s1[2 * kx:].reshape(ntr, kx, *s1.shape[1:])
 
     return Tendencies(vordt=vordt, divdt=divdt, tdt=tdt, psdt=psdt,
                       trdt=trdt), extras

@@ -99,16 +99,19 @@ class Physics:
         kx = dy.config.kx
         nl1 = kx - 2
 
-        # --- 1. grid-point fields at the physics time level ---
+        # --- 1. grid-point fields at the physics time level (one batched
+        # transform per cos-scaling group) ---
         from ..dynamics.implicit import geopotential
         ucosm, vcosm = T.uvspec(f.vor, f.div)
-        ug = T.spec_to_grid(ucosm, kcos=2)
-        vg = T.spec_to_grid(vcosm, kcos=2)
-        tg = T.spec_to_grid(f.t)
-        qg = jnp.maximum(T.spec_to_grid(f.tr[0]), 0.0)
+        g2 = T.spec_to_grid(jnp.concatenate([ucosm, vcosm]), kcos=2)
+        ug, vg = g2[:kx], g2[kx:]
         phi = geopotential(f.t, dy.phis, dy.vg_jnp)
-        phig = T.spec_to_grid(phi)
-        pslg = T.spec_to_grid(f.ps)
+        g1 = T.spec_to_grid(jnp.concatenate(
+            [f.t, f.tr[0], phi, f.ps[None]]))
+        tg = g1[:kx]
+        qg = jnp.maximum(g1[kx:2 * kx], 0.0)
+        phig = g1[2 * kx:3 * kx]
+        pslg = g1[3 * kx]
 
         psg = jnp.exp(pslg)
         rps = 1.0 / psg

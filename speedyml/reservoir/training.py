@@ -61,7 +61,8 @@ def _add_noise(inputs, noise_mag, rng_key):
 
 def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
                          model_states=None, noise_mag: float = 0.0,
-                         rng_key=None, chunk: int = 128):
+                         rng_key=None, chunk: int = 128,
+                         use_pallas=None):
     """Run the reservoir over a training series, accumulating normal equations.
 
     inputs:  (T, R, n_in) standardized input series u(t), t = 0..T-1
@@ -69,10 +70,16 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
     model_states: (T, R, n_model) imperfect-model forecast valid at t+1
     noise_mag: multiplicative input noise magnitude (training only)
     chunk: timesteps per GEMM block; T is truncated to a multiple of chunk.
+    use_pallas: fuse the ss GEMM + compensated update into one TPU kernel
+    (ops/accum.py); default auto (on for TPU backends).
 
     The (state-after-u(t), target(t+1)) pairing matches the reference's
     chunked layer (mod_reservoir.f90:1004-1065).
     """
+    from ..ops.accum import (accum_available, accumulate_ss, pad_to_tile)
+
+    if use_pallas is None:
+        use_pallas = accum_available()
     dt = acc.x.dtype
     inputs = jnp.asarray(inputs, dt)
     targets = jnp.asarray(targets, dt)
@@ -94,6 +101,9 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
         model_states = model_states[:Tc].reshape(
             nchunks, chunk, *model_states.shape[1:])
 
+    na = acc.ss_hi.shape[-1]
+    P = pad_to_tile(na) if use_pallas else na
+
     def chunk_body(carry, blk):
         x, ss_hi, ss_lo, sy_hi, sy_lo = carry
         if model_states is not None:
@@ -112,16 +122,27 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
         else:
             aug = xt_blk
         # batched GEMMs over the chunk (MXU)
-        ss_d = jnp.einsum("tra,trb->rab", aug, aug)
+        if use_pallas:
+            ss_hi, ss_lo = accumulate_ss(ss_hi, ss_lo, aug)
+        else:
+            ss_d = jnp.einsum("tra,trb->rab", aug, aug)
+            ss_hi, ss_lo = _two_sum(ss_hi, ss_lo, ss_d)
         sy_d = jnp.einsum("tro,tra->roa", y_blk, aug)
-        ss_hi, ss_lo = _two_sum(ss_hi, ss_lo, ss_d)
         sy_hi, sy_lo = _two_sum(sy_hi, sy_lo, sy_d)
         return (x, ss_hi, ss_lo, sy_hi, sy_lo), None
 
     xs = (inputs, targets) if model_states is None else (
         inputs, targets, model_states)
-    carry = (acc.x, acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+    ss_hi, ss_lo = acc.ss_hi, acc.ss_lo
+    if P > na:
+        pad = ((0, 0), (0, P - na), (0, P - na))
+        ss_hi = jnp.pad(ss_hi, pad)
+        ss_lo = jnp.pad(ss_lo, pad)
+    carry = (acc.x, ss_hi, ss_lo, acc.sy_hi, acc.sy_lo)
     (x, ss_hi, ss_lo, sy_hi, sy_lo), _ = jax.lax.scan(chunk_body, carry, xs)
+    if P > na:
+        ss_hi = ss_hi[:, :na, :na]
+        ss_lo = ss_lo[:, :na, :na]
     return NormalEq(ss_hi=ss_hi, ss_lo=ss_lo, sy_hi=sy_hi, sy_lo=sy_lo, x=x)
 
 
