@@ -82,6 +82,7 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
                  nz_slabs: int = 1, vert_overlap: int = 1,
                  use_logp: bool = True, use_precip: bool = True,
                  use_sst: bool = True, use_tisr: bool = True,
+                 use_ohtc: bool = False,
                  radang_deg: np.ndarray | None = None) -> RegionLayout:
     nregx = ix // resx
     nregy = il // resy
@@ -101,7 +102,8 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
     gv_sizes["atmo3d"] = (pos, pos + nvars * kx * ngp)
     pos += nvars * kx * ngp
     for name, used in (("logp", use_logp), ("precip", use_precip),
-                       ("sst", use_sst), ("tisr", use_tisr)):
+                       ("sst", use_sst), ("tisr", use_tisr),
+                       ("ohtc", use_ohtc)):
         ln = ngp if used else 0
         gv_sizes[name] = (pos, pos + ln)
         pos += ln
@@ -116,7 +118,8 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
     p = 0
     sizes["atmo3d"] = (p, p + n_atmo); p += n_atmo
     for name, used in (("logp", use_logp), ("precip", use_precip),
-                       ("sst", use_sst), ("tisr", use_tisr)):
+                       ("sst", use_sst), ("tisr", use_tisr),
+                       ("ohtc", use_ohtc)):
         ln = npatch if used else 0
         sizes[name] = (p, p + ln); p += ln
     n_in = p
@@ -166,7 +169,7 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
         patch = _patch_indices(il, ix, y0, x0, inpy, inpx)  # (npatch,) y-major
         input_index[r, sizes["atmo3d"][0]:sizes["atmo3d"][1]] = atmo_section(
             patch.reshape(inpy, inpx), inpy, inpx, z_in)
-        for name in ("logp", "precip", "sst", "tisr"):
+        for name in ("logp", "precip", "sst", "tisr", "ohtc"):
             s0, s1 = sizes[name]
             if s1 > s0:
                 g0, _ = gv_sizes[name]
@@ -201,14 +204,14 @@ def build_layout(ix: int = 96, il: int = 48, kx: int = 8, nvars: int = 4,
 # pack / unpack (jittable)
 # ----------------------------------------------------------------------
 def pack_global(layout: RegionLayout, atmo3d, logp=None, precip=None,
-                sst=None, tisr=None):
+                sst=None, tisr=None, ohtc=None):
     """Assemble the global supervector from grid fields.
 
     atmo3d: (nvars, kx, il, ix); 2-D fields (il, ix) or None.
     """
     parts = [atmo3d.reshape(-1)]
     for name, arr in (("logp", logp), ("precip", precip), ("sst", sst),
-                      ("tisr", tisr)):
+                      ("tisr", tisr), ("ohtc", ohtc)):
         s0, s1 = layout.gv_sizes[name]
         if s1 > s0:
             assert arr is not None, f"{name} required by layout"

@@ -48,7 +48,7 @@ def compute_stats(layout: RegionLayout, inputs: np.ndarray,
     in_std[:, s0:s1] = np.repeat(sd[:, :, None, :], npatch, axis=2
                                  ).reshape(R, -1)
 
-    for name in ("logp", "precip", "sst", "tisr"):
+    for name in ("logp", "precip", "sst", "tisr", "ohtc"):
         t0, t1 = L.sizes[name]
         if t1 > t0:
             sec = inputs[:, :, t0:t1]

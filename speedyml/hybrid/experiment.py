@@ -113,7 +113,7 @@ def collect_forecasts(fc: SpeedyForecaster, truth: TruthSeries):
 # packing + transforms
 # ----------------------------------------------------------------------
 def transform_and_pack(layout: RegionLayout, atmo, logp, precip, sst, tisr,
-                       eps: float) -> np.ndarray:
+                       eps: float, ohtc=None) -> np.ndarray:
     """Apply the reference's unit fixes and pack to (T, gv_len) float32."""
     T = atmo.shape[0]
     a = np.array(atmo, np.float32, copy=True)
@@ -125,12 +125,12 @@ def transform_and_pack(layout: RegionLayout, atmo, logp, precip, sst, tisr,
     s = layout.gv_sizes
     gv[:, s["atmo3d"][0]:s["atmo3d"][1]] = a.reshape(T, -1)
     gv[:, s["logp"][0]:s["logp"][1]] = logp.reshape(T, -1)
-    if s["precip"][1] > s["precip"][0]:
-        gv[:, s["precip"][0]:s["precip"][1]] = pr.reshape(T, -1)
-    if s["sst"][1] > s["sst"][0]:
-        gv[:, s["sst"][0]:s["sst"][1]] = ss.reshape(T, -1)
-    if s["tisr"][1] > s["tisr"][0]:
-        gv[:, s["tisr"][0]:s["tisr"][1]] = ti.reshape(T, -1)
+    for name, arr in (("precip", pr), ("sst", ss), ("tisr", ti),
+                      ("ohtc", ohtc)):
+        t0, t1 = s.get(name, (0, 0))
+        if t1 > t0:
+            assert arr is not None, f"{name} required by layout"
+            gv[:, t0:t1] = np.asarray(arr, np.float32).reshape(T, -1)
     return gv
 
 
@@ -341,7 +341,8 @@ class HybridRunner:
                            ss, ti)
 
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
-            sst_fn=None, ocean=None, x_ocean=None, sst0=None):
+            sst_fn=None, ocean=None, x_ocean=None, sst0=None,
+            writer=None, checkpoint_path=None, checkpoint_every=0):
         """Run n_steps hybrid steps from transformed global fields.
 
         sst_fn(date) -> (il, ix) SST override; default climatology.
@@ -349,6 +350,10 @@ class HybridRunner:
         rolling week-mean supervector and feeds predicted SST back to both
         the atmosphere reservoirs and SPEEDY's boundary condition
         (mod_slab_ocean_reservoir.f90:1268-1316, cpl_sea.f90:38-44).
+        writer: io.output.ForecastWriter — incremental NetCDF output every
+        step (the reference root's per-step write, mpires.f90:518-563).
+        checkpoint_path/every: atomic full-state checkpoints every K steps
+        (io.checkpoint), enabling exact resume via resume_from().
         Returns a dict of trajectory arrays + final reservoir state; stops
         early if SPEEDY's safety gate trips (ppo_iogrid.f90:563-577 ->
         mpires.f90:744).
@@ -407,6 +412,15 @@ class HybridRunner:
                 None if precip_t is None
                 else np.asarray(invert_precip(precip_t, self.eps)))
             traj["sst"].append(np.asarray(sst))
+            if writer is not None:
+                writer.append(traj["atmo"][-1], traj["logp"][-1],
+                              precip_mm=traj["precip_mm"][-1], sst=sst)
+            if checkpoint_path and checkpoint_every and \
+                    (step_i + 1) % checkpoint_every == 0:
+                from ..io.checkpoint import save_prediction
+                extra = {"sst_cur": sst_cur} if sst_cur is not None else None
+                save_prediction(checkpoint_path, x, atmo, logp, precip_t,
+                                date, step=step_i + 1, extra=extra)
         out = {k: (np.stack(v) if v and v[0] is not None else None)
                for k, v in traj.items()}
         out["x"] = x
@@ -414,3 +428,12 @@ class HybridRunner:
         out["date"] = date
         out["aborted"] = aborted
         return out
+
+    def resume_from(self, checkpoint_path: str, n_steps: int, **kw):
+        """Resume a prediction exactly from a run() checkpoint."""
+        from ..io.checkpoint import load_prediction
+        st = load_prediction(checkpoint_path)
+        sst0 = st["extra"].get("sst_cur") if st["extra"] else None
+        return self.run(jnp.asarray(st["x"]), st["atmo"], st["logp"],
+                        st["precip_t"], st["date"], n_steps,
+                        sst0=kw.pop("sst0", sst0), **kw)

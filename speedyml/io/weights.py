@@ -246,7 +246,7 @@ def _stats_to_reference_order(hm):
     # reference order: (var, level) var-major
     parts_m = [m3.transpose(0, 2, 1).reshape(L.R, -1)]
     parts_s = [s3.transpose(0, 2, 1).reshape(L.R, -1)]
-    for name in ("logp", "precip", "sst", "tisr"):
+    for name in ("logp", "precip", "sst", "tisr", "ohtc"):
         t0, t1 = L.sizes[name]
         if t1 > t0:
             parts_m.append(in_mean[:, t0:t0 + 1])
@@ -272,7 +272,7 @@ def _stats_from_reference_order(layout, means, stds):
     in_mean[:, a0:a1] = np.repeat(m3[:, :, None, :], npatch, 2).reshape(R, -1)
     in_std[:, a0:a1] = np.repeat(s3[:, :, None, :], npatch, 2).reshape(R, -1)
     k = nvl
-    for name in ("logp", "precip", "sst", "tisr"):
+    for name in ("logp", "precip", "sst", "tisr", "ohtc"):
         t0, t1 = L.sizes[name]
         if t1 > t0:
             in_mean[:, t0:t1] = means[:, k:k + 1]

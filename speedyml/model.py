@@ -78,6 +78,16 @@ class Speedy:
         self._day_fn = None
         self._bootstrapped = False
 
+        # SPPT stochastic physics (off by default, mod_tsteps.f90:68)
+        self._sppt = None
+        self._sppt_state = None
+        self._sppt_key = None
+        if config.sppt_on:
+            from .physics.sppt import Sppt
+            self._sppt = Sppt(self.dy)
+            self._sppt_key = jax.random.PRNGKey(0)
+            self._sppt_state = self._sppt.init(self._sppt_key)
+
     # ------------------------------------------------------------------
     def _make_surf(self, rad_fields: dict) -> SurfaceDailyState:
         # numpy leaves: passed as jit ARGUMENTS (device_put at dispatch)
@@ -111,10 +121,16 @@ class Speedy:
         self.rad = init_rad_carry(cfg.kx, cfg.il, cfg.ix, self.dy.dtype)
         self._bootstrap()
 
-    def _phys_fn(self, surf, rad, lradsw):
+    def _phys_fn(self, surf, rad, lradsw, sppt_pattern=None):
         def fn(dy, fphy):
             tends, rad_new, fluxes = self.phys.step_physics(
                 dy, fphy, surf, rad, lradsw)
+            if sppt_pattern is not None:
+                # multiplicative tendency perturbation (phy_phypar.f90 SPPT
+                # hook; mod_sppt.f90 mu tapering)
+                mu = jnp.asarray(self._sppt.mu, tends[0].dtype)
+                s = 1.0 + sppt_pattern * mu[:, None, None]
+                tends = tuple(t * s for t in tends)
             return tends, (rad_new, fluxes)
         return fn
 
@@ -144,14 +160,22 @@ class Speedy:
         nsteps = cfg.nsteps
         rsteps = 1.0 / nsteps
 
+        use_sppt = self._sppt is not None
+        sppt = self._sppt
+
         def day_fn(state: SpectralState, rad: RadCarry,
-                   surf: SurfaceDailyState, forcing: Forcing):
+                   surf: SurfaceDailyState, forcing: Forcing,
+                   sppt_state=None, sppt_key=None):
             def body(carry, j):
-                state, rad, acc = carry
+                state, rad, acc, sst = carry
                 lradsw = (j % cfg.nstrad) == 0
+                pattern = None
+                if use_sppt:
+                    sst, pattern = sppt.step(
+                        sst, jax.random.fold_in(sppt_key, j))
                 (state, (rad, fx)) = dy.step(
                     state, forcing, 1, 1, "delt2",
-                    self._phys_fn(surf, rad, lradsw))
+                    self._phys_fn(surf, rad, lradsw, pattern))
 
                 esbc = PP.emisfc * PP.sbc
                 difice = ((PP.albsea - PP.albice) * fx.ssrd
@@ -166,13 +190,13 @@ class Speedy:
                     tsr=acc.tsr + fx.tsr * rsteps,
                     olr=acc.olr + fx.olr * rsteps,
                 )
-                return (state, rad, acc), None
+                return (state, rad, acc, sst), None
 
             z = jnp.zeros((cfg.il, cfg.ix), dtype=dy.dtype)
             acc0 = DailyFluxes(z, z, z, z, z, z)
-            (state, rad, acc), _ = jax.lax.scan(
-                body, (state, rad, acc0), jnp.arange(nsteps))
-            return state, rad, acc
+            (state, rad, acc, sppt_state), _ = jax.lax.scan(
+                body, (state, rad, acc0, sppt_state), jnp.arange(nsteps))
+            return state, rad, acc, sppt_state
 
         return jax.jit(day_fn)
 
@@ -191,8 +215,11 @@ class Speedy:
                                qcorh=np.asarray(qcorh, np_dtype))
 
         # 2.-3. one day of leapfrog steps with flux accumulation
-        self.state, self.rad, acc = self._day_fn(self.state, self.rad,
-                                                 self.surf, self.forcing)
+        if self._sppt is not None:
+            self._sppt_key = jax.random.fold_in(self._sppt_key, 1)
+        self.state, self.rad, acc, self._sppt_state = self._day_fn(
+            self.state, self.rad, self.surf, self.forcing,
+            self._sppt_state, self._sppt_key)
 
         # 4. date advance + coupler slab models (daily)
         self.date.advance_day()

@@ -59,18 +59,22 @@ def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
     ncore = L.resy * L.resx
     nv = L.nvars
     ngp = L.il * L.ix
+    has_ohtc = L.gv_sizes.get("ohtc", (0, 0))[1] > L.gv_sizes.get(
+        "ohtc", (0, 0))[0]
 
     sections = {}
     pos = 0
-    for name, ln in (("atmo_bot", nv * npatch), ("logp", npatch),
-                     ("sst", npatch), ("tisr", npatch)):
+    in2d = ["logp", "sst", "tisr"] + (["ohtc"] if has_ohtc else [])
+    for name, ln in [("atmo_bot", nv * npatch)] + [(n, npatch)
+                                                   for n in in2d]:
         sections[name] = (pos, pos + ln)
         pos += ln
     n_in = pos
+    n_out = ncore * (2 if has_ohtc else 1)    # [sst core | ohtc core]
 
     Ro = L.nregy * L.nregx
     input_index = np.empty((Ro, n_in), np.int32)
-    target_index = np.empty((Ro, ncore), np.int32)
+    target_index = np.empty((Ro, n_out), np.int32)
 
     a0 = L.gv_sizes["atmo3d"][0]
     for r in range(Ro):
@@ -83,17 +87,19 @@ def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
                 sec[v + nv * p] = a0 + (v * L.kx + kz) * ngp + patch[p]
         s0, s1 = sections["atmo_bot"]
         input_index[r, s0:s1] = sec
-        for name in ("logp", "sst", "tisr"):
+        for name in in2d:
             g0, g1 = L.gv_sizes[name]
             assert g1 > g0, f"ocean reservoir needs {name} in the layout"
             u0, u1 = sections[name]
             input_index[r, u0:u1] = g0 + patch
         core = _patch_indices(L.il, L.ix, ry * L.resy, rx * L.resx,
                               L.resy, L.resx)
-        target_index[r] = L.gv_sizes["sst"][0] + core
+        target_index[r, :ncore] = L.gv_sizes["sst"][0] + core
+        if has_ohtc:
+            target_index[r, ncore:] = L.gv_sizes["ohtc"][0] + core
 
     return OceanLayout(input_index=input_index, target_index=target_index,
-                       sections=sections, n_in=n_in, n_out=ncore, R=Ro)
+                       sections=sections, n_in=n_in, n_out=n_out, R=Ro)
 
 
 def weekly_average(gv_series: np.ndarray, steps_per_week: int) -> np.ndarray:
@@ -186,11 +192,12 @@ class OceanModel:
         reference's sst_bool_prediction + sea-mask freeze
         (mod_slab_ocean_reservoir.f90:833-867, mpires.f90:456-563)."""
         L = layout
+        ncore = L.resy * L.resx
         grid = np.asarray(sst_clim, np.float64).copy()
         flat = grid.reshape(-1)
         g_ss0 = L.gv_sizes["sst"][0]
-        tgt = self.ol.target_index - g_ss0        # flat grid indices
-        pred = np.asarray(sst_pred_core, np.float64)
+        tgt = self.ol.target_index[:, :ncore] - g_ss0   # flat grid indices
+        pred = np.asarray(sst_pred_core, np.float64)[:, :ncore]
         act = self.active
         flat[tgt[act].reshape(-1)] = pred[act].reshape(-1)
         return np.maximum(flat.reshape(grid.shape), 271.0)
@@ -209,13 +216,16 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
     assert Tw > 4, "need more than 4 weekly samples to train the slab ocean"
 
     inputs = gv_w[:, ol.input_index]                       # (Tw, R, n_in)
-    # targets: endpoint SST at week boundaries (not averaged)
+    # targets: endpoint SST (+OHTC) at week boundaries (not averaged)
     ends = np.arange(1, Tw + 1) * spw - 1
     targets_raw = gv_truth[ends][:, ol.target_index]       # (Tw, R, n_out)
 
     in_mean, in_std = _section_stats(
         inputs, ol.sections, groups={"atmo_bot": L.nvars})
-    out_sec = {"sst": (0, ol.n_out)}
+    ncore = L.resy * L.resx
+    out_sec = {"sst": (0, ncore)}
+    if ol.n_out > ncore:
+        out_sec["ohtc"] = (ncore, ol.n_out)
     out_mean, out_std = _section_stats(targets_raw, out_sec, groups={})
     stz = Standardizer(in_mean=jnp.asarray(in_mean),
                        in_std=jnp.asarray(in_std),
@@ -223,7 +233,7 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
                        out_std=jnp.asarray(out_std))
 
     # active where SST varies (sst_bool_prediction threshold)
-    sst_var = targets_raw.var(axis=(0, 2))                 # (R,)
+    sst_var = targets_raw[:, :, :ncore].var(axis=(0, 2))   # (R,)
     active = sst_var > rcfg.sst_variance_threshold
 
     u_all = (inputs - in_mean) / in_std

@@ -82,6 +82,46 @@ def test_worker_files_roundtrip(tmp_path):
                                atol=1e-4)
 
 
+def test_run_checkpoint_resume_exact(tmp_path):
+    """3 steps + checkpoint + resume 3 == 6 straight steps (bitwise), and
+    the incremental NetCDF writer records every frame."""
+    import jax.numpy as jnp
+    from speedyml.core.calendar import ModelDate
+    from speedyml.hybrid.experiment import HybridRunner
+    from speedyml.io.output import ForecastWriter, read_forecast
+
+    hm, gv = _trained_model(ml_only=True, seed=17)
+    L = hm.layout
+    x = hm.synchronize(gv[:60])
+    s = L.gv_sizes
+    last = gv[60]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+    sst0 = last[s["sst"][0]:s["sst"][1]].reshape(L.il, L.ix)
+
+    class _R(HybridRunner):
+        def _sst_tisr(self, date):
+            return sst0.copy(), np.zeros((L.il, L.ix))
+
+    ck = str(tmp_path / "pred.npz")
+    nc = str(tmp_path / "fc.nc")
+    r1 = _R(hm, None, clim=object(), dy=object())
+    with ForecastWriter(nc, L.kx, L.il, L.ix, with_sst=True) as w:
+        full = r1.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), 6,
+                      writer=w)
+    r2 = _R(hm, None, clim=object(), dy=object())
+    r2.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), 3,
+           checkpoint_path=ck, checkpoint_every=3)
+    resumed = r2.resume_from(ck, 3)
+    np.testing.assert_array_equal(full["atmo"][3:], resumed["atmo"])
+    np.testing.assert_array_equal(full["logp"][5], resumed["logp"][2])
+    data = read_forecast(nc)
+    assert data["Temperature"].shape[0] == 6
+    np.testing.assert_allclose(data["Temperature"][4], full["atmo"][4][0],
+                               rtol=1e-6)
+
+
 def test_prediction_checkpoint_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     x = rng.normal(size=(18, 64)).astype(np.float32)

@@ -82,6 +82,38 @@ def test_train_ocean_and_predict():
     assert (grid != 290.0).sum() <= n_active_pts
 
 
+def test_ocean_with_ohtc():
+    """Optional OHTC input + prediction (mod_slab_ocean_reservoir.f90
+    ohtc_prediction; read_ohtc_parallel_training)."""
+    from speedyml.domain.decomposition import build_layout
+    L = build_layout(ix=12, il=6, kx=2, nvars=4, resx=2, resy=2, overlap=1,
+                     use_ohtc=True)
+    rcfg = _ocean_rcfg()
+    T = 600
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=41)
+    ohtc = 1.5e9 + 1e8 * np.sin(
+        np.linspace(0, 20, T)[:, None, None]
+        + np.linspace(0, 3, L.il)[None, :, None])
+    ohtc = np.broadcast_to(ohtc, (T, L.il, L.ix))
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon, ohtc=ohtc)
+    om = train_ocean(L, rcfg, gv, seed=8)
+    ncore = L.resy * L.resx
+    assert om.ol.n_out == 2 * ncore
+    s0, s1 = om.ol.sections["ohtc"]
+    assert s1 > s0
+    spw = om.steps_per_week
+    gv_w = weekly_average(gv, spw)
+    x = om.synchronize(gv_w[:-1])
+    x, out = om.step(x, gv_w[-1])
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # ohtc predictions come back in physical units (~1.5e9)
+    assert 1e9 < np.abs(out[:, ncore:]).mean() < 2e9
+    grid = om.compose_sst(out, np.full((L.il, L.ix), 290.0), L)
+    assert grid.shape == (L.il, L.ix)
+
+
 def test_runner_with_ocean():
     """HybridRunner steps the ocean reservoir every steps_per_week and the
     SST feedback changes after the first week boundary."""
