@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--prior", type=float, default=0.0)
     ap.add_argument("--beta-res", type=float, default=1e-3)
     ap.add_argument("--skip-ml-only", action="store_true")
+    ap.add_argument("--ocean", action="store_true",
+                    help="also train + couple the slab-ocean reservoir "
+                         "(config 5)")
+    ap.add_argument("--cache", default="",
+                    help="npz path: reuse/generate truth + model forecasts")
     args = ap.parse_args()
 
     import jax
@@ -45,19 +50,43 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] model built", flush=True)
 
     runner = TrajectoryRunner(sp)
-    runner.initialize(year=1982, month=1, spinup_days=args.spinup_days)
-    print(f"[{time.time()-t0:6.1f}s] spin-up done", flush=True)
+    import os
+    from speedyml.hybrid.experiment import TruthSeries
+    if args.cache and os.path.exists(args.cache):
+        z = np.load(args.cache)
+        truth = TruthSeries(atmo=z["atmo"], logp=z["logp"],
+                            precip=z["precip"], sst=z["sst"], tisr=z["tisr"],
+                            hours=z["hours"])
+        m_atmo, m_logp, m_precip = z["m_atmo"], z["m_logp"], z["m_precip"]
+        from speedyml.core.calendar import ModelDate, datetime_from_hours
+        from speedyml.coupler.daily import init_coupler_state
+        from speedyml.hybrid.experiment import _atmo_to_grid
+        y, m, d, h = datetime_from_hours(int(truth.hours[-1]))
+        runner.initialize(year=1982, month=1, spinup_days=0)
+        runner.date = ModelDate(y, m, d, h)
+        runner.cs = init_coupler_state(sp.clim, runner.date)
+        runner.gs = _atmo_to_grid(truth.atmo[-1], truth.logp[-1])
+        print(f"[{time.time()-t0:6.1f}s] cache loaded: {truth.atmo.shape}",
+              flush=True)
+    else:
+        runner.initialize(year=1982, month=1, spinup_days=args.spinup_days)
+        print(f"[{time.time()-t0:6.1f}s] spin-up done", flush=True)
 
-    truth = collect_truth(runner, args.samples)
-    print(f"[{time.time()-t0:6.1f}s] truth collected: "
-          f"{truth.atmo.shape}", flush=True)
+        truth = collect_truth(runner, args.samples)
+        print(f"[{time.time()-t0:6.1f}s] truth collected: "
+              f"{truth.atmo.shape}", flush=True)
 
-    # imperfect model: the DRY core (all physics off) — large, honest model
-    # error for the reservoirs to correct
-    fc_imperfect = SpeedyForecaster(sp, hours=6, physics=False)
-    m_atmo, m_logp, m_precip = collect_forecasts(fc_imperfect, truth)
-    print(f"[{time.time()-t0:6.1f}s] imperfect-model forecasts done",
-          flush=True)
+        # imperfect model: the DRY core (all physics off) — large, honest
+        # model error for the reservoirs to correct
+        fc_imperfect = SpeedyForecaster(sp, hours=6, physics=False)
+        m_atmo, m_logp, m_precip = collect_forecasts(fc_imperfect, truth)
+        print(f"[{time.time()-t0:6.1f}s] imperfect-model forecasts done",
+              flush=True)
+        if args.cache:
+            np.savez(args.cache, atmo=truth.atmo, logp=truth.logp,
+                     precip=truth.precip, sst=truth.sst, tisr=truth.tisr,
+                     hours=truth.hours, m_atmo=m_atmo, m_logp=m_logp,
+                     m_precip=m_precip)
 
     rcfg = ReservoirConfig(nodes_per_input=576, degree=6, noise_std=0.05,
                            discardlength=args.discard, synclength=48,
@@ -82,9 +111,27 @@ def main():
     logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
     pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
 
+    ocean = None
+    x_ocean = None
+    if args.ocean:
+        from speedyml.reservoir.slab import train_ocean, weekly_average
+        # small slab reservoir: weekly cadence gives samples/7/24*6 points,
+        # so n must stay modest for the demo training lengths
+        om_rcfg = ReservoirConfig(slab_nodes=500,
+                                  discardlength=args.discard,
+                                  timestep_slab=168)
+        ocean = train_ocean(L, om_rcfg, gv_truth, seed=100, region_block=576)
+        spw = ocean.steps_per_week
+        gv_w = weekly_average(gv_truth, spw)
+        x_ocean = ocean.synchronize(gv_w)
+        print(f"[{time.time()-t0:6.1f}s] slab-ocean trained: "
+              f"{int(ocean.active.sum())}/{ocean.ol.R} active regions",
+              flush=True)
+
     fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
     hrun = HybridRunner(hm, fc_speedy)
-    out = hrun.run(x, atmo0, logp0, pr0, runner.date, args.fc_steps)
+    out = hrun.run(x, atmo0, logp0, pr0, runner.date, args.fc_steps,
+                   ocean=ocean, x_ocean=x_ocean)
     print(f"[{time.time()-t0:6.1f}s] hybrid forecast: aborted={out['aborted']}"
           f" steps={0 if out['atmo'] is None else len(out['atmo'])}",
           flush=True)
@@ -100,8 +147,17 @@ def main():
     rms_per = [float(np.sqrt(np.mean((truth.atmo[-1, 0] -
                                       truth2.atmo[i, 0]) ** 2)))
                for i in range(args.fc_steps)]
-    print("  T RMS hybrid     :", [f"{r:.3f}" for r in rms_hyb])
-    print("  T RMS persistence:", [f"{r:.3f}" for r in rms_per])
+    print("  T RMS hybrid     :", [f"{r:.3f}" for r in rms_hyb[:10]])
+    print("  T RMS persistence:", [f"{r:.3f}" for r in rms_per[:10]])
+    if len(rms_hyb) > 10:
+        print(f"  T RMS at step {len(rms_hyb)}: hybrid {rms_hyb[-1]:.3f} "
+              f"persistence {rms_per[-1]:.3f}")
+    if ocean is not None and out["sst"] is not None:
+        sst_traj = out["sst"]
+        print("  SST forecast range:", float(sst_traj.min()),
+              float(sst_traj.max()),
+              " drift vs start:", float(np.abs(sst_traj[-1] -
+                                               sst_traj[0]).max()))
 
     # ml-only from the same start
     if args.skip_ml_only:
