@@ -74,6 +74,80 @@ def _accum_pallas(ss_hi, ss_lo, aug_r, interpret=False):
     )(aug_r, aug_r, ss_hi, ss_lo)
 
 
+def _kernel_scan(a_ref, b_ref, hi_in, lo_in, hi_out, lo_out):
+    """Time-resident accumulation: grid (R, i, j, t) with t innermost; the
+    (TS, TS) output block stays in VMEM across all t (revisiting pattern),
+    so the big accumulators move through HBM ONCE per training scan instead
+    of once per chunk."""
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(3)
+    a = a_ref[0]
+    b = b_ref[0]
+    d = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        hi, lo = _two_sum(hi_in[0], lo_in[0], d)
+        hi_out[0] = hi
+        lo_out[0] = lo
+
+    @pl.when(t > 0)
+    def _():
+        hi, lo = _two_sum(hi_out[0], lo_out[0], d)
+        hi_out[0] = hi
+        lo_out[0] = lo
+
+
+TS = 512   # square tile for the scan kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _accum_scan_pallas(ss_hi, ss_lo, aug_r, chunk, interpret=False):
+    """ss_{hi,lo}: (R, P, P); aug_r: (R, T, P), T % chunk == 0, P % TS == 0."""
+    from jax.experimental import pallas as pl
+
+    R, P, _ = ss_hi.shape
+    T = aug_r.shape[1]
+    nt = T // chunk
+    ts = min(TS, P)
+    assert P % ts == 0, (P, ts)
+    grid = (R, P // ts, P // ts, nt)
+    a_spec = pl.BlockSpec((1, chunk, ts), lambda r, i, j, t: (r, t, i))
+    b_spec = pl.BlockSpec((1, chunk, ts), lambda r, i, j, t: (r, t, j))
+    s_spec = pl.BlockSpec((1, ts, ts), lambda r, i, j, t: (r, i, j))
+    return pl.pallas_call(
+        _kernel_scan,
+        grid=grid,
+        in_specs=[a_spec, b_spec, s_spec, s_spec],
+        out_specs=(s_spec, s_spec),
+        out_shape=(jax.ShapeDtypeStruct(ss_hi.shape, ss_hi.dtype),
+                   jax.ShapeDtypeStruct(ss_lo.shape, ss_lo.dtype)),
+        interpret=interpret,
+    )(aug_r, aug_r, ss_hi, ss_lo)
+
+
+def accumulate_ss_scan(ss_hi, ss_lo, aug, chunk: int = 128,
+                       interpret: bool = False):
+    """Fold a WHOLE training series into the compensated normal equations
+    with one kernel launch (the fused replacement for the per-chunk XLA
+    einsum + two_sum, which re-streams the (R, na, na) accumulators from HBM
+    every chunk).
+
+    ss_{hi,lo}: (R, P, P) padded accumulators; aug: (T, R, na).
+    """
+    R, P, _ = ss_hi.shape
+    T, _, na = aug.shape
+    chunk = min(chunk, T)
+    rem = (-T) % chunk
+    aug_r = jnp.swapaxes(aug, 0, 1)                   # (R, T, na)
+    if rem or na < P:
+        aug_r = jnp.pad(aug_r, ((0, 0), (0, rem), (0, P - na)))
+    return _accum_scan_pallas(ss_hi, ss_lo, aug_r, chunk,
+                              interpret=interpret)
+
+
 def pad_to_tile(n: int) -> int:
     """Pad to a multiple of 512 (keeps a wide j-tile available: 512 | P)
     or to one 128-tile for small n."""

@@ -76,7 +76,8 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
     The (state-after-u(t), target(t+1)) pairing matches the reference's
     chunked layer (mod_reservoir.f90:1004-1065).
     """
-    from ..ops.accum import (accum_available, accumulate_ss, pad_to_tile)
+    from ..ops.accum import (accum_available, accumulate_ss_scan,
+                             pad_to_tile)
 
     if use_pallas is None:
         use_pallas = accum_available()
@@ -102,16 +103,8 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
             nchunks, chunk, *model_states.shape[1:])
 
     na = acc.ss_hi.shape[-1]
-    P = pad_to_tile(na) if use_pallas else na
 
-    def chunk_body(carry, blk):
-        x, ss_hi, ss_lo, sy_hi, sy_lo = carry
-        if model_states is not None:
-            u_blk, y_blk, m_blk = blk
-        else:
-            u_blk, y_blk = blk
-            m_blk = None
-
+    def make_aug(x, u_blk, m_blk):
         def step(x, u):
             x = advance(params, x, u)
             return x, nonlinear_state(x)
@@ -121,28 +114,50 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
             aug = jnp.concatenate([m_blk, xt_blk], axis=-1)
         else:
             aug = xt_blk
-        # batched GEMMs over the chunk (MXU)
-        if use_pallas:
-            ss_hi, ss_lo = accumulate_ss(ss_hi, ss_lo, aug)
-        else:
-            ss_d = jnp.einsum("tra,trb->rab", aug, aug)
-            ss_hi, ss_lo = _two_sum(ss_hi, ss_lo, ss_d)
-        sy_d = jnp.einsum("tro,tra->roa", y_blk, aug)
-        sy_hi, sy_lo = _two_sum(sy_hi, sy_lo, sy_d)
-        return (x, ss_hi, ss_lo, sy_hi, sy_lo), None
+        return x, aug
 
     xs = (inputs, targets) if model_states is None else (
         inputs, targets, model_states)
-    ss_hi, ss_lo = acc.ss_hi, acc.ss_lo
-    if P > na:
+
+    if use_pallas:
+        # Collect the whole augmented-state series, then fold it into the
+        # normal equations with ONE fused kernel launch: the (R, na, na)
+        # hi/lo accumulators cross HBM once per training scan instead of
+        # once per chunk (ops/accum.py accumulate_ss_scan).
+        def chunk_body(carry, blk):
+            x, sy_hi, sy_lo = carry
+            m_blk = blk[2] if model_states is not None else None
+            x, aug = make_aug(x, blk[0], m_blk)
+            sy_d = jnp.einsum("tro,tra->roa", blk[1], aug)
+            sy_hi, sy_lo = _two_sum(sy_hi, sy_lo, sy_d)
+            return (x, sy_hi, sy_lo), aug
+
+        (x, sy_hi, sy_lo), aug_all = jax.lax.scan(
+            chunk_body, (acc.x, acc.sy_hi, acc.sy_lo), xs)
+        aug_all = aug_all.reshape(-1, *aug_all.shape[2:])   # (Tc, R, na)
+        P = pad_to_tile(na)
         pad = ((0, 0), (0, P - na), (0, P - na))
-        ss_hi = jnp.pad(ss_hi, pad)
-        ss_lo = jnp.pad(ss_lo, pad)
-    carry = (acc.x, ss_hi, ss_lo, acc.sy_hi, acc.sy_lo)
-    (x, ss_hi, ss_lo, sy_hi, sy_lo), _ = jax.lax.scan(chunk_body, carry, xs)
-    if P > na:
+        ss_hi = jnp.pad(acc.ss_hi, pad)
+        ss_lo = jnp.pad(acc.ss_lo, pad)
+        ss_hi, ss_lo = accumulate_ss_scan(ss_hi, ss_lo, aug_all, chunk)
         ss_hi = ss_hi[:, :na, :na]
         ss_lo = ss_lo[:, :na, :na]
+        return NormalEq(ss_hi=ss_hi, ss_lo=ss_lo, sy_hi=sy_hi, sy_lo=sy_lo,
+                        x=x)
+
+    def chunk_body(carry, blk):
+        x, ss_hi, ss_lo, sy_hi, sy_lo = carry
+        m_blk = blk[2] if model_states is not None else None
+        x, aug = make_aug(x, blk[0], m_blk)
+        # batched GEMMs over the chunk (MXU)
+        ss_d = jnp.einsum("tra,trb->rab", aug, aug)
+        ss_hi, ss_lo = _two_sum(ss_hi, ss_lo, ss_d)
+        sy_d = jnp.einsum("tro,tra->roa", blk[1], aug)
+        sy_hi, sy_lo = _two_sum(sy_hi, sy_lo, sy_d)
+        return (x, ss_hi, ss_lo, sy_hi, sy_lo), None
+
+    carry = (acc.x, acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+    (x, ss_hi, ss_lo, sy_hi, sy_lo), _ = jax.lax.scan(chunk_body, carry, xs)
     return NormalEq(ss_hi=ss_hi, ss_lo=ss_lo, sy_hi=sy_hi, sy_lo=sy_lo, x=x)
 
 
