@@ -31,6 +31,12 @@ class ModelConfig:
     # physics cadence
     nstrad: int = 3       # shortwave radiation period (steps)
     sppt_on: bool = False
+    rdf_on: bool = False  # random diabatic forcing (ini_inirdf, mod_randfor)
+    rdf_index: int = 1    # perturbation index; sign flips the pattern
+
+    # post-processing (time-mean diagnostics, mod_tmean/ppo_tminc)
+    time_means_on: bool = False
+    nstppr: int = 6       # post-proc sampling period in steps (mod_tsteps.f90:25)
 
     # seasonal cycle flag (1 = yes)
     iseasc: int = 1

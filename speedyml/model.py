@@ -78,6 +78,22 @@ class Speedy:
         self._day_fn = None
         self._bootstrapped = False
 
+        # random diabatic forcing pattern (off by default; ini_inirdf)
+        self._randfh = None
+        if config.rdf_on:
+            from .physics.randfor import make_randfh
+            np_dt = np.float64 if config.dtype == "float64" else np.float32
+            self._randfh = np.asarray(
+                make_randfh(self.dy.T, np.asarray(self.dy.tables.gsin),
+                            config.ix, seed=config.rdf_index), np_dt)
+
+        # time-mean diagnostics (off by default; mod_tmean/ppo_tminc/tmout)
+        self.time_means = None
+        if config.time_means_on:
+            from .utils.timemean import init_timemean
+            self.time_means = init_timemean(config.kx, config.il, config.ix,
+                                            self.dy.dtype)
+
         # SPPT stochastic physics (off by default, mod_tsteps.f90:68)
         self._sppt = None
         self._sppt_state = None
@@ -124,7 +140,7 @@ class Speedy:
     def _phys_fn(self, surf, rad, lradsw, sppt_pattern=None):
         def fn(dy, fphy):
             tends, rad_new, fluxes = self.phys.step_physics(
-                dy, fphy, surf, rad, lradsw)
+                dy, fphy, surf, rad, lradsw, randfh=self._randfh)
             if sppt_pattern is not None:
                 # multiplicative tendency perturbation (phy_phypar.f90 SPPT
                 # hook; mod_sppt.f90 mu tapering)
@@ -162,12 +178,14 @@ class Speedy:
 
         use_sppt = self._sppt is not None
         sppt = self._sppt
+        use_tm = self.time_means is not None
+        st = self.st
 
         def day_fn(state: SpectralState, rad: RadCarry,
                    surf: SurfaceDailyState, forcing: Forcing,
-                   sppt_state=None, sppt_key=None):
+                   sppt_state=None, sppt_key=None, tm=None):
             def body(carry, j):
-                state, rad, acc, sst = carry
+                state, rad, acc, sst, tm = carry
                 lradsw = (j % cfg.nstrad) == 0
                 pattern = None
                 if use_sppt:
@@ -176,6 +194,14 @@ class Speedy:
                 (state, (rad, fx)) = dy.step(
                     state, forcing, 1, 1, "delt2",
                     self._phys_fn(surf, rad, lradsw, pattern))
+                if use_tm:
+                    from .utils.timemean import tm_update, tm_update_fluxes
+                    tm = tm_update_fluxes(fx, tm)
+                    # sample prognostics every nstppr steps (ppo_tminc)
+                    tm = jax.lax.cond(
+                        (j + 1) % cfg.nstppr == 0,
+                        lambda t: tm_update(dy, st, state.at_level(0), t),
+                        lambda t: t, tm)
 
                 esbc = PP.emisfc * PP.sbc
                 difice = ((PP.albsea - PP.albice) * fx.ssrd
@@ -190,13 +216,13 @@ class Speedy:
                     tsr=acc.tsr + fx.tsr * rsteps,
                     olr=acc.olr + fx.olr * rsteps,
                 )
-                return (state, rad, acc, sst), None
+                return (state, rad, acc, sst, tm), None
 
             z = jnp.zeros((cfg.il, cfg.ix), dtype=dy.dtype)
             acc0 = DailyFluxes(z, z, z, z, z, z)
-            (state, rad, acc, sppt_state), _ = jax.lax.scan(
-                body, (state, rad, acc0, sppt_state), jnp.arange(nsteps))
-            return state, rad, acc, sppt_state
+            (state, rad, acc, sppt_state, tm), _ = jax.lax.scan(
+                body, (state, rad, acc0, sppt_state, tm), jnp.arange(nsteps))
+            return state, rad, acc, sppt_state, tm
 
         return jax.jit(day_fn)
 
@@ -217,9 +243,9 @@ class Speedy:
         # 2.-3. one day of leapfrog steps with flux accumulation
         if self._sppt is not None:
             self._sppt_key = jax.random.fold_in(self._sppt_key, 1)
-        self.state, self.rad, acc, self._sppt_state = self._day_fn(
-            self.state, self.rad, self.surf, self.forcing,
-            self._sppt_state, self._sppt_key)
+        self.state, self.rad, acc, self._sppt_state, self.time_means = (
+            self._day_fn(self.state, self.rad, self.surf, self.forcing,
+                         self._sppt_state, self._sppt_key, self.time_means))
 
         # 4. date advance + coupler slab models (daily)
         self.date.advance_day()
@@ -234,6 +260,21 @@ class Speedy:
         for _ in range(ndays):
             acc = self.run_day()
         return acc
+
+    def write_time_means(self, basepath: str) -> dict:
+        """tmout(imode>0) equivalent: normalize the accumulated means, write
+        one GrADS record (.grd + .ctl), reset the accumulators
+        (ppo_tmout.f90:34-42, ppo_setctl.f90). Returns the field dict."""
+        from .utils.timemean import init_timemean, write_grads
+        assert self.time_means is not None, "set ModelConfig.time_means_on"
+        fields = write_grads(
+            self.time_means, basepath,
+            np.degrees(np.asarray(self.dy.tables.radang)),
+            np.asarray(self.st.sig),
+            year=self.date.iyear, month=self.date.imonth)
+        self.time_means = init_timemean(self.config.kx, self.config.il,
+                                        self.config.ix, self.dy.dtype)
+        return fields
 
     # ------------------------------------------------------------------
     def grid_view(self, level: int = 0):
