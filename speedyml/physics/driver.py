@@ -91,9 +91,16 @@ class Physics:
         self.phis0 = phis0_grid   # (il, ix) jnp surface geopotential
 
     def step_physics(self, dy, f, surf: SurfaceDailyState, rad: RadCarry,
-                     lradsw):
+                     lradsw, randfh=None):
         """Returns ((du, dv, dtt, dqt) grid increments, new RadCarry,
-        StepFluxes). lradsw may be a traced bool (lax.cond inside)."""
+        StepFluxes). lradsw may be a traced bool (lax.cond inside).
+
+        `randfh` (2, il, ix), if given, enables random diabatic forcing
+        (phy_phypar.f90:202-216): the fixed pattern pair times zonal-mean
+        heating profiles is added to the temperature tendency. The profiles
+        are refreshed every step here (the reference refreshes mode 1/2 only
+        on shortwave steps; recomputing is cheaper than carrying them and
+        only smooths the forcing)."""
         st = self.st
         T = dy.T
         kx = dy.config.kx
@@ -178,6 +185,13 @@ class Physics:
         vtend = vt_pbl
         ttend = ttend + tt_pbl
         qtend = qtend + qt_pbl
+
+        # --- 5. random diabatic forcing (phy_phypar.f90:202-216) ---
+        if randfh is not None:
+            from .randfor import tt_rdf, xs_rdf
+            randfv1 = xs_rdf(tt_lsc, tt_cnv, st.sig, 1)
+            randfv2 = xs_rdf(rad.tt_rsw, tt_rlw, st.sig, 2)
+            ttend = ttend + tt_rdf(randfh, randfv1, randfv2)
 
         fluxes = StepFluxes(precnv=precnv, precls=precls,
                             evap_l=fx.evap_l, evap_s=fx.evap_s,
