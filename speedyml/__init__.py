@@ -30,6 +30,7 @@ def __getattr__(name):
         "OceanModel": ("speedyml.reservoir.slab", "OceanModel"),
         "save_model": ("speedyml.io.weights", "save_model"),
         "load_model": ("speedyml.io.weights", "load_model"),
+        "analysis": ("speedyml.utils", "analysis"),
     }
     if name in lazy:
         import importlib
@@ -41,4 +42,4 @@ def __getattr__(name):
 __all__ = ["HybridConfig", "ModelConfig", "ReservoirConfig", "Speedy",
            "Dycore", "build_layout", "train_hybrid", "HybridModel",
            "HybridRunner", "SpeedyForecaster", "TrajectoryRunner",
-           "train_ocean", "OceanModel", "save_model", "load_model"]
+           "train_ocean", "OceanModel", "save_model", "load_model", "analysis"]

@@ -1,0 +1,1 @@
+from . import analysis  # offline forecast/climate analysis (numpy-only)
