@@ -47,6 +47,10 @@ class ModelConfig:
 
     # numerics
     dtype: str = "float32"   # "float32" on TPU, "float64" for CPU validation
+    # grid-space tendency compute dtype: "bfloat16" halves the HBM traffic of
+    # the dominant elementwise tendency work (spectral state/transforms stay
+    # in `dtype`); opt-in fast path for large-ensemble throughput runs
+    grid_compute: str = "float32"
 
     @property
     def mx(self) -> int:

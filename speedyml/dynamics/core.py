@@ -60,6 +60,11 @@ class Dycore:
         self.akap = PHYS.akap
         self.rgas = PHYS.rgas
         self.sdrag = 1.0 / (DYN.tdrs * 3600.0)
+        # opt-in reduced-precision grid-space tendency compute (see
+        # ModelConfig.grid_compute); None = full precision
+        self.grid_dtype = (jnp.bfloat16
+                           if getattr(config, "grid_compute", "float32")
+                           == "bfloat16" else None)
 
         # surface geopotential: spec(grav*orog) truncated (ini_invars.f90:31-34)
         # computed entirely host-side (numpy)

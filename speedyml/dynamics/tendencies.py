@@ -72,6 +72,19 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     tref3 = dy.imp_main.tref3
     akap = dy.akap
     rgas = dy.rgas
+    coriol = dy.coriol
+
+    # opt-in bf16 grid-space compute: the elementwise tendency work below is
+    # HBM-bandwidth-bound (~79% of the dry step, BASELINE.md); casting the
+    # grid fields + vertical constants halves that traffic. Spectral state
+    # and the transforms stay full precision (tables are f32, so the forward
+    # einsums below promote the results back).
+    gd = getattr(dy, "grid_dtype", None)
+    tref_full = tref
+    if gd is not None:
+        cast = lambda x: jnp.asarray(x, gd)
+        dhs, dhsr, fsgr, tref3, coriol = map(
+            cast, (dhs, dhsr, fsgr, tref3, coriol))
 
     # --- grid converts: ONE batched transform per cos-scaling group
     # (stacking all fields maximizes the MXU batch; splitting is free) ---
@@ -79,6 +92,9 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     ntr = fdyn.tr.shape[0]
     trf = fdyn.tr.reshape(ntr * kx, *fdyn.tr.shape[2:])
     g1 = T.spec_to_grid(jnp.concatenate([fdyn.vor, fdyn.div, fdyn.t, trf]))
+    tg_full = g1[2 * kx:3 * kx]
+    if gd is not None:
+        g1 = g1.astype(gd)
     vorg, divg, tg = g1[:kx], g1[kx:2 * kx], g1[2 * kx:3 * kx]
     trg = g1[3 * kx:].reshape(ntr, kx, *g1.shape[1:])
 
@@ -86,9 +102,11 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     pdx_s, pdy_s = T.grad(fdyn.ps)
     g2 = T.spec_to_grid(jnp.concatenate(
         [ucosm, vcosm, pdx_s[None], pdy_s[None]]), kcos=2)
+    if gd is not None:
+        g2 = g2.astype(gd)
     ug, vg, px, py = g2[:kx], g2[kx:2 * kx], g2[2 * kx], g2[2 * kx + 1]
 
-    vorg_abs = vorg + dy.coriol[:, None]               # add planetary vorticity
+    vorg_abs = vorg + coriol[:, None]                  # add planetary vorticity
 
     w = dhs[:, None, None]
     umean = jnp.sum(ug * w, axis=0)                    # (il, ix)
@@ -108,7 +126,11 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
          -jnp.cumsum(w * (puv + divg - dmean[None]), axis=0)], axis=0)
     sigm = jnp.concatenate([zero_iface, -jnp.cumsum(w * puv, axis=0)], axis=0)
 
-    tgg = tg - tref[:, None, None]
+    # temperature anomaly: subtract BEFORE any downcast — T and tref are
+    # ~270 K, so rounding first would wipe out the anomaly's low bits
+    tgg = tg_full - tref_full[:, None, None]
+    if gd is not None:
+        tgg = tgg.astype(gd)
     rpx = rgas * px
     rpy = rgas * py
 
@@ -126,7 +148,9 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
 
     # --- temperature tendency (dyn_grtend.f90:165-182) ---
     dtgg = tgg[1:] - tgg[:-1]
-    dtref = tref[1:] - tref[:-1]
+    dtref = tref_full[1:] - tref_full[:-1]
+    if gd is not None:
+        dtref = dtref.astype(gd)
     iface_t = sigdt[1:-1] * dtgg + sigm[1:-1] * dtref[:, None, None]
     iface_t = jnp.concatenate([zero_iface, iface_t, zero_iface], axis=0)
     ttend = (tgg * divg
@@ -150,7 +174,7 @@ def grtend(dy, fdyn: PrognosticFields, fphy: PrognosticFields,
     extras = None
     if phys_fn is not None:
         (du, dv, dtt, dtrt), extras = phys_fn(dy, fphy)
-        utend = utend + du
+        utend = utend + du                 # promotes back to full precision
         vtend = vtend + dv
         ttend = ttend + dtt
         trtend = trtend + dtrt

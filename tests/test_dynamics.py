@@ -111,3 +111,31 @@ class TestGeopotential:
         assert (phig[-1] >= phis_g - 1e-6).all()
         # geopotential increases with height
         assert (np.diff(phig[::-1], axis=0) > 0).all()
+
+
+class TestBf16GridCompute:
+    """Opt-in reduced-precision grid-space tendency path
+    (ModelConfig.grid_compute='bfloat16'): must stay stable and track the
+    full-precision trajectory closely over a day. Precision-critical
+    differences (T - tref, dtref) are computed before the downcast."""
+
+    def test_one_day_tracks_f32(self, dy_orog):
+        from speedyml.core.config import ModelConfig
+        from speedyml.io.boundary import BoundaryData
+
+        bd = BoundaryData(BIN)
+        dy16 = Dycore(ModelConfig(grid_compute="bfloat16"), orog=bd.orog)
+        dy32 = Dycore(ModelConfig(), orog=bd.orog)
+        tgs = {}
+        for tag, dy in (("bf16", dy16), ("f32", dy32)):
+            s = dy.stepone(rest_state(dy), dy.zero_forcing())
+            s = dy.run_steps(s, dy.zero_forcing(), 96)
+            tg = np.asarray(dy.T.spec_to_grid(s.t[0]))
+            assert np.isfinite(tg).all()
+            tgs[tag] = tg
+        d = tgs["bf16"] - tgs["f32"]
+        # gravity-wave spin-up from rest over real orography reaches tens of
+        # kelvin anomalies; the reduced-precision path must stay within a
+        # small fraction of a kelvin of the full-precision trajectory
+        assert np.sqrt((d ** 2).mean()) < 0.2
+        assert np.abs(d).max() < 2.0
