@@ -28,7 +28,7 @@ def _months_for(T, dt_hours, start_month):
     """Calendar month of each sample (365-day model year approximation)."""
     hours = np.arange(T) * dt_hours
     mlen = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
-    bounds = np.cumsum(np.concatenate([[0], np.repeat(mlen, 200)])) * 24.0
+    bounds = np.cumsum(np.concatenate([[0], np.tile(mlen, 200)])) * 24.0
     idx = np.searchsorted(bounds, hours, side="right") - 1
     return ((idx + (start_month - 1)) % 12) + 1
 

@@ -46,11 +46,59 @@ def _open(path: str) -> netcdf_file:
         ) from e
 
 
-def _to_tzyx(a: np.ndarray) -> np.ndarray:
-    """Reference files store (lon, lat, lev, time) Fortran-style; netCDF
-    dimension order in the file is therefore (time, lev, lat, lon) C-style.
-    Accept either 4-D orientation by checking which end looks like time."""
-    return a  # files written C-style (time, lev, lat, lon) need no transpose
+_DIM_ROLE = {
+    "time": ("timestep", "time", "t", "record"),
+    "lev": ("sigma_level", "lev", "level", "sigma", "plev", "z"),
+    "lat": ("lat", "latitude", "y"),
+    "lon": ("lon", "longitude", "x"),
+}
+
+
+def _dim_role(name: str) -> Optional[str]:
+    n = name.lower()
+    for role, aliases in _DIM_ROLE.items():
+        if n in aliases:
+            return role
+    return None
+
+
+def _to_tzyx(a: np.ndarray, dims=()) -> np.ndarray:
+    """Orient a 3-D/4-D field to (time[, lev], lat, lon).
+
+    The reference declares fields (lon, lat, lev, time) in Fortran
+    (mod_io.f90:1905-2036), i.e. (time, lev, lat, lon) in C dimension order —
+    but files produced by other regridders may store any permutation.
+    Dimension names are authoritative when recognizable; otherwise a shape
+    heuristic applies (on this grid lon = 2*lat, lev <= 16) and an
+    ambiguous file raises rather than being read transposed silently."""
+    a = np.asarray(a)
+    if a.ndim not in (3, 4):
+        return a
+    want = ("time", "lev", "lat", "lon") if a.ndim == 4 else \
+        ("time", "lat", "lon")
+
+    roles = [_dim_role(d) for d in dims] if len(dims) == a.ndim else []
+    if roles and sorted(str(r) for r in roles) == sorted(want):
+        return np.transpose(a, [roles.index(r) for r in want])
+
+    # Shape heuristic — requires all axis sizes distinct to be unambiguous.
+    shape = a.shape
+    if len(set(shape)) == a.ndim:
+        axes = set(range(a.ndim))
+        # lon is the unique axis that is exactly twice another (96 = 2*48)
+        pairs = [(i, j) for i in axes for j in axes
+                 if i != j and shape[i] == 2 * shape[j]]
+        if len(pairs) == 1:
+            lon, lat = pairs[0]
+            rest = sorted(axes - {lon, lat}, key=lambda i: shape[i])
+            if a.ndim == 3:
+                return np.transpose(a, [rest[0], lat, lon])
+            lev, time = rest          # lev < time (8 levels vs >=365 records)
+            if shape[lev] <= 16 and shape[time] > shape[lev]:
+                return np.transpose(a, [time, lev, lat, lon])
+    raise ValueError(
+        f"cannot determine orientation of field with shape {shape} "
+        f"and dims {tuple(dims)}; name the dimensions (time/lev/lat/lon)")
 
 
 def read_era_year(path: str, q_to_gkg: bool = True) -> dict:
@@ -65,18 +113,22 @@ def read_era_year(path: str, q_to_gkg: bool = True) -> dict:
         fields = []
         for name in VAR4D:
             key = name if name in f.variables else name.replace("_", "-")
-            a = _native(f.variables[key][:]).astype(np.float32)
-            fields.append(_to_tzyx(a))
+            var = f.variables[key]
+            a = _native(var[:]).astype(np.float32)
+            fields.append(_to_tzyx(a, var.dimensions))
         atmo = np.stack(fields, axis=1)     # (T, 4, kx, il, ix)
         if q_to_gkg:
             q = atmo[:, 3] * 1000.0
             atmo[:, 3] = np.clip(q, 0.0, 25.0)
+        vlp = f.variables["logp"]
         out = {"atmo": atmo,
-               "logp": _native(f.variables["logp"][:]).astype(np.float32)}
+               "logp": _to_tzyx(_native(vlp[:]).astype(np.float32),
+                                vlp.dimensions)}
         for extra in ("SST", "p6hr", "sohtc300"):
             if extra in f.variables:
-                out[extra.lower()] = _native(
-                    f.variables[extra][:]).astype(np.float32)
+                v = f.variables[extra]
+                out[extra.lower()] = _to_tzyx(
+                    _native(v[:]).astype(np.float32), v.dimensions)
         return out
     finally:
         f.close()
@@ -87,8 +139,9 @@ def read_tisr_year(path: str) -> np.ndarray:
     (speedy_res_interface.f90:368-370)."""
     f = _open(path)
     try:
+        v = f.variables["tisr"]
         return np.maximum(
-            _native(f.variables["tisr"][:]).astype(np.float32), 0.0)
+            _to_tzyx(_native(v[:]).astype(np.float32), v.dimensions), 0.0)
     finally:
         f.close()
 
@@ -127,6 +180,21 @@ def read_era_range(dirpath: str, y0: int, y1: int,
             [read_tisr_year(tisr_file_name(tisr_dir, y))
              for y in range(y0, y1 + 1)])
     return out
+
+
+def write_tisr_year(path: str, tisr: np.ndarray) -> None:
+    """Write an hourly/6-hourly TISR file in the reference's schema
+    (toa_incident_solar_radiation_*.nc, speedy_res_interface.f90:368-370)."""
+    T, il, ix = tisr.shape
+    f = netcdf_file(path, "w")
+    try:
+        f.createDimension("Timestep", None)
+        f.createDimension("Lat", il)
+        f.createDimension("Lon", ix)
+        v = f.createVariable("tisr", "f4", ("Timestep", "Lat", "Lon"))
+        v[:] = tisr
+    finally:
+        f.close()
 
 
 def write_era_year(path: str, atmo: np.ndarray, logp: np.ndarray,

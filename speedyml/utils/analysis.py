@@ -36,7 +36,11 @@ def weighted_rms(true, prediction, lat_deg, lat_axis=-2, axis=None):
     w = latitude_weights(lat_deg)
     shape = [1] * err2.ndim
     shape[lat_axis] = w.size
-    return np.sqrt(np.nanmean(err2 * w.reshape(shape), axis=axis))
+    wb = np.broadcast_to(w.reshape(shape), err2.shape)
+    valid = ~np.isnan(err2)
+    num = np.nansum(err2 * wb, axis=axis)
+    den = np.sum(wb * valid, axis=axis)
+    return np.sqrt(num / np.where(den > 0, den, np.nan))
 
 
 def sigma_to_pressure(var: np.ndarray, logp: np.ndarray,

