@@ -33,6 +33,13 @@ def main():
                          "(config 5)")
     ap.add_argument("--cache", default="",
                     help="npz path: reuse/generate truth + model forecasts")
+    ap.add_argument("--components", default="",
+                    help="path prefix: write v_ml/v_p contribution NetCDF "
+                         "(PREFIX_ml.nc + PREFIX_p.nc)")
+    ap.add_argument("--out", default="",
+                    help="forecast NetCDF output path")
+    ap.add_argument("--grads", default="",
+                    help="base path: also write GrADS .grd/.ctl output")
     args = ap.parse_args()
 
     import jax
@@ -130,8 +137,38 @@ def main():
 
     fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
     hrun = HybridRunner(hm, fc_speedy)
+    comp_writers = None
+    writer = None
+    if args.components:
+        from speedyml.io.output import ForecastWriter
+        comp_writers = (
+            ForecastWriter(args.components + "_ml.nc", cfg.kx, cfg.il,
+                           cfg.ix, with_precip=False),
+            ForecastWriter(args.components + "_p.nc", cfg.kx, cfg.il,
+                           cfg.ix, with_precip=False))
+    if args.out:
+        from speedyml.io.output import ForecastWriter
+        writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix,
+                                with_sst=True)
     out = hrun.run(x, atmo0, logp0, pr0, runner.date, args.fc_steps,
-                   ocean=ocean, x_ocean=x_ocean)
+                   ocean=ocean, x_ocean=x_ocean, writer=writer,
+                   component_writers=comp_writers)
+    if comp_writers is not None:
+        for w in comp_writers:
+            w.close()
+        print(f"  components -> {args.components}_ml.nc/_p.nc")
+    if writer is not None:
+        writer.close()
+    if args.grads and out["atmo"] is not None:
+        from speedyml.io.grads import GradsWriter
+        gw = GradsWriter(args.grads,
+                         np.degrees(np.asarray(sp.dy.tables.radang)),
+                         np.asarray(sp.dy.vg.fsg), cfg.ix)
+        for i in range(len(out["atmo"])):
+            gw.append([out["atmo"][i][v] for v in range(4)],
+                      [out["logp"][i]])
+        gw.close()
+        print(f"  GrADS -> {args.grads}.grd/.ctl")
     print(f"[{time.time()-t0:6.1f}s] hybrid forecast: aborted={out['aborted']}"
           f" steps={0 if out['atmo'] is None else len(out['atmo'])}",
           flush=True)

@@ -23,13 +23,14 @@ import numpy as np
 
 from ..core.calendar import ModelDate
 from ..core.config import ReservoirConfig
-from ..coupler.daily import fordate, init_coupler_state
+from ..coupler.daily import init_coupler_state
 from ..domain.decomposition import (RegionLayout, build_layout, gather_inputs,
                                     pack_global, scatter_outputs)
 from ..domain.standardize import (Standardizer, compute_stats,
                                   standardize_in, standardize_out,
                                   unstandardize_out)
-from ..reservoir.esn import EsnParams, predict_step, synchronize
+from ..reservoir.esn import (EsnParams, advance, predict_step, readout_split,
+                             synchronize)
 from ..reservoir.generate import generate_esn, radius_by_lat
 from ..reservoir.training import (drive_and_accumulate, drive_discard,
                                   init_normal_eq, ridge_solve)
@@ -154,6 +155,7 @@ class HybridModel:
 
     # jit caches
     _step_fn: Optional[callable] = None
+    _split_fn: Optional[callable] = None
     _sync_fn: Optional[callable] = None
 
     def _maps(self):
@@ -187,6 +189,43 @@ class HybridModel:
             return x, atmo, logp, precip_t
 
         return jax.jit(step)
+
+    def _build_split(self):
+        """Hybrid step with the v_ml/v_p component decomposition
+        (mod_reservoir.f90:1458-1469; shipped to disk by the reference via
+        mpires.f90:1146-1547). Physical-unit components satisfy
+        atmo = atmo_ml + atmo_p: the ML increment is std * v_ml, the SPEEDY
+        part std * v_p + mean."""
+        L = self.layout
+        assert not self.ml_only, "component split needs the model block"
+
+        def step(params, stz, idx, tidx, x, gv, model_gv):
+            u = standardize_in(stz, gv[idx])
+            model_vec = standardize_out(stz, model_gv[tidx])
+            x = advance(params, x, u)
+            out_std, v_ml, v_p = readout_split(params, x, model_vec)
+            out = unstandardize_out(stz, out_std)
+            atmo, logp, precip_t = scatter_outputs(L, out)
+            atmo = atmo.at[3].set(jnp.maximum(atmo[3], QMIN))
+            if precip_t is not None:
+                precip_t = jnp.maximum(precip_t, 0.0)
+            ml_phys = v_ml * stz.out_std
+            p_phys = v_p * stz.out_std + stz.out_mean
+            atmo_ml, logp_ml, _ = scatter_outputs(L, ml_phys)
+            atmo_p, logp_p, _ = scatter_outputs(L, p_phys)
+            comp = dict(atmo_ml=atmo_ml, logp_ml=logp_ml,
+                        atmo_p=atmo_p, logp_p=logp_p)
+            return x, atmo, logp, precip_t, comp
+
+        return jax.jit(step)
+
+    def step_split(self, x, gv, model_gv):
+        """step() + v_ml/v_p component grids (see _build_split)."""
+        if self._split_fn is None:
+            self._split_fn = self._build_split()
+        idx, tidx = self._maps()
+        return self._split_fn(self.params, self.stz, idx, tidx, x, gv,
+                              model_gv)
 
     def _build_sync(self):
         def sync(params, stz, idx, x, gv_series):
@@ -322,13 +361,15 @@ class HybridRunner:
 
     def _sst_tisr(self, date: ModelDate):
         """Boundary SST (climatology; slab-ocean reservoir overrides later)
-        and TISR for the date."""
+        and hourly-resolved TISR for the date (the reference's
+        get_tisr_by_date, mpires.f90:1676-1710 — diurnal, matching the
+        train-time TISR statistics)."""
+        from ..physics.radiation import diurnal_tisr
+
         cs = init_coupler_state(self.clim, date)
-        rad_fields, _, _ = fordate(self.dy, self.clim, cs, date)
-        il, ix = self.hm.layout.il, self.hm.layout.ix
-        tisr = np.broadcast_to(
-            np.asarray(rad_fields["fsol"], np.float64)[:, None],
-            (il, ix)).copy()
+        ix = self.hm.layout.ix
+        tisr = diurnal_tisr(date.tyear, date.ihour,
+                            self.dy.tables.gsin, self.dy.tables.gcos, ix)
         return np.asarray(cs.sst_am), tisr
 
     def _pack(self, atmo, logp, precip_t, sst, tisr):
@@ -342,7 +383,8 @@ class HybridRunner:
 
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
             sst_fn=None, ocean=None, x_ocean=None, sst0=None,
-            writer=None, checkpoint_path=None, checkpoint_every=0):
+            writer=None, component_writers=None,
+            checkpoint_path=None, checkpoint_every=0):
         """Run n_steps hybrid steps from transformed global fields.
 
         sst_fn(date) -> (il, ix) SST override; default climatology.
@@ -352,6 +394,10 @@ class HybridRunner:
         (mod_slab_ocean_reservoir.f90:1268-1316, cpl_sea.f90:38-44).
         writer: io.output.ForecastWriter — incremental NetCDF output every
         step (the reference root's per-step write, mpires.f90:518-563).
+        component_writers: (writer_ml, writer_p) pair of ForecastWriters —
+        per-step v_ml/v_p contribution output in physical units
+        (atmo = atmo_ml + atmo_p; the reference's
+        send_outvec_ml_contrib/speedy_contrib path, mpires.f90:1146-1547).
         checkpoint_path/every: atomic full-state checkpoints every K steps
         (io.checkpoint), enabling exact resume via resume_from().
         Returns a dict of trajectory arrays + final reservoir state; stops
@@ -404,7 +450,16 @@ class HybridRunner:
                 f_pr = jnp.log1p(jnp.maximum(res.precip_mm, 0.0) / self.eps)
                 model_gv = self._pack(f_atmo, res.gs.logp, f_pr, sst, tisr)
 
-            x, atmo, logp, precip_t = hm.step(x, gv, model_gv)
+            if component_writers is not None and not hm.ml_only:
+                x, atmo, logp, precip_t, comp = hm.step_split(x, gv,
+                                                              model_gv)
+                w_ml, w_p = component_writers
+                w_ml.append(np.asarray(comp["atmo_ml"]),
+                            np.asarray(comp["logp_ml"]))
+                w_p.append(np.asarray(comp["atmo_p"]),
+                           np.asarray(comp["logp_p"]))
+            else:
+                x, atmo, logp, precip_t = hm.step(x, gv, model_gv)
             date.advance_hours(hm.rcfg.timestep)
             traj["atmo"].append(np.asarray(atmo))
             traj["logp"].append(np.asarray(logp))

@@ -198,12 +198,15 @@ class TrajectoryRunner:
         self._day_flux = None
 
     def current_sample(self, precip_mm=None) -> TruthSample:
+        from ..physics.radiation import diurnal_tisr
+
         sp = self.speedy
-        rad_fields, _, _ = fordate(sp.dy, sp.clim, self.cs, self.date)
         il, ix = sp.config.il, sp.config.ix
-        tisr = np.broadcast_to(
-            np.asarray(rad_fields["fsol"], np.float64)[:, None],
-            (il, ix)).copy()
+        # hourly-resolved TISR (the reference trains on hourly ERA5 TISR,
+        # speedy_res_interface.f90:368-370; daily zonal fsol has no diurnal
+        # signal for the reservoirs to learn)
+        tisr = diurnal_tisr(self.date.tyear, self.date.ihour,
+                            sp.dy.tables.gsin, sp.dy.tables.gcos, ix)
         if precip_mm is None:
             precip_mm = np.zeros((il, ix))
         return TruthSample(gs=self.gs, precip_mm=np.asarray(precip_mm),

@@ -29,9 +29,10 @@ class SolarFields(NamedTuple):
     stratz: jnp.ndarray
 
 
-def solar(tyear: float, csol: float, slat: np.ndarray, clat: np.ndarray):
-    """Daily-average insolation at the atmosphere top (phy_radiat.f90:77-121).
-    Pure numpy (host-side daily update)."""
+def _declination(tyear: float):
+    """Solar declination + Sun-Earth distance factor (the Hartmann-1994
+    Fourier series used by phy_radiat.f90:86-103). Returns (sdecl, cdecl,
+    fdis)."""
     alpha = 2.0 * np.pi * tyear
     ca1, sa1 = np.cos(alpha), np.sin(alpha)
     ca2, sa2 = ca1 * ca1 - sa1 * sa1, 2 * sa1 * ca1
@@ -41,8 +42,13 @@ def solar(tyear: float, csol: float, slat: np.ndarray, clat: np.ndarray):
             + 0.000907 * sa2 - 0.002697 * ca3 + 0.001480 * sa3)
     fdis = (1.000110 + 0.034221 * ca1 + 0.001280 * sa1 + 0.000719 * ca2
             + 0.000077 * sa2)
+    return np.sin(decl), np.cos(decl), fdis
 
-    cdecl, sdecl = np.cos(decl), np.sin(decl)
+
+def solar(tyear: float, csol: float, slat: np.ndarray, clat: np.ndarray):
+    """Daily-average insolation at the atmosphere top (phy_radiat.f90:77-121).
+    Pure numpy (host-side daily update)."""
+    sdecl, cdecl, fdis = _declination(tyear)
     tdecl = sdecl / cdecl
 
     csolp = csol / np.pi
@@ -50,6 +56,25 @@ def solar(tyear: float, csol: float, slat: np.ndarray, clat: np.ndarray):
     h0 = np.arccos(ch0)
     sh0 = np.sin(h0)
     return csolp * fdis * (h0 * slat * sdecl + sh0 * clat * cdecl)
+
+
+def diurnal_tisr(tyear: float, utc_hours: float, slat: np.ndarray,
+                 clat: np.ndarray, ix: int) -> np.ndarray:
+    """Instantaneous TOA incident solar flux (il, ix) with the diurnal cycle.
+
+    The reference feeds the reservoirs hourly ERA5 TISR at prediction time
+    (mpires.f90:1676-1710 get_tisr_by_date); with no data files this
+    analytic cycle stands in:  S = 4*solc * fdis * max(0, cos zenith),
+    cos(zenith) = slat*sdecl + clat*cdecl*cos(hour angle), hour angle 0 at
+    local solar noon.  Its exact daily mean over the hour angle is solar()'s
+    fsol, so train-time (daily files or this function) and predict-time TISR
+    statistics agree by construction.
+    """
+    sdecl, cdecl, fdis = _declination(tyear)
+    lon = 2.0 * np.pi * np.arange(ix) / ix
+    h = (2.0 * np.pi * utc_hours / 24.0 - np.pi) + lon     # hour angle
+    cosz = slat[:, None] * sdecl + clat[:, None] * cdecl * np.cos(h)[None, :]
+    return 4.0 * PP.solc * fdis * np.maximum(cosz, 0.0)
 
 
 def sol_oz(tyear: float, slat: np.ndarray, clat: np.ndarray) -> SolarFields:

@@ -230,3 +230,48 @@ def test_region_blocking_matches_full():
     assert np.all(np.isfinite(np.asarray(hm_full.params.wout)))
     assert np.all(np.isfinite(np.asarray(hm_blk.params.wout)))
     assert np.asarray(x_f).shape == np.asarray(x_b).shape
+
+
+def test_component_split_consistency(tmp_path):
+    """step_split: same trajectory as step(), exact v_ml + v_p decomposition
+    in physical units, and the component writers round-trip
+    (mod_reservoir.f90:1458-1469, mpires.f90:1146-1547)."""
+    from speedyml.io.output import ForecastWriter, read_forecast
+
+    L = _small_layout()
+    rcfg = _small_rcfg(noise_std=0.05)
+    T = 300
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=11)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    gv_model = gv + 0.2 * np.sin(gv)
+    hm = train_hybrid(L, rcfg, gv, gv_model, seed=4)
+
+    x = hm.synchronize(gv[-40:])
+    gvc = jnp.asarray(gv[-1])
+    mgv = jnp.asarray(gv_model[-1])
+    x1, a1, l1, p1 = hm.step(x, gvc, mgv)
+    x2, a2, l2, p2, comp = hm.step_split(x, gvc, mgv)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+    # decomposition is exact BEFORE the q clamp: check on unclamped vars
+    total = np.asarray(comp["atmo_ml"]) + np.asarray(comp["atmo_p"])
+    np.testing.assert_allclose(total[:3], np.asarray(a2)[:3], atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(comp["logp_ml"]) + np.asarray(comp["logp_p"]),
+        np.asarray(l2), atol=1e-5)
+
+    # writers: one step of ml/p component output
+    wm = ForecastWriter(str(tmp_path / "ml.nc"), L.kx, L.il, L.ix,
+                        with_precip=False)
+    wp = ForecastWriter(str(tmp_path / "p.nc"), L.kx, L.il, L.ix,
+                        with_precip=False)
+    wm.append(np.asarray(comp["atmo_ml"]), np.asarray(comp["logp_ml"]))
+    wp.append(np.asarray(comp["atmo_p"]), np.asarray(comp["logp_p"]))
+    wm.close(); wp.close()
+    dml = read_forecast(str(tmp_path / "ml.nc"))
+    dp = read_forecast(str(tmp_path / "p.nc"))
+    np.testing.assert_allclose(
+        dml["Temperature"][0] + dp["Temperature"][0],
+        np.asarray(a2)[0], atol=1e-3)

@@ -43,6 +43,42 @@ class TestClimatology:
         assert 200.0 < cs.stl_am.min() and cs.stl_am.max() < 330.0
 
 
+class TestDiurnalTisr:
+    """Hourly-resolved TISR fed to the reservoirs (mpires.f90:1676-1710):
+    its daily mean must equal solar()'s fsol so train- and predict-time TISR
+    statistics agree."""
+
+    def _lats(self):
+        lat = np.deg2rad(np.linspace(-87.0, 87.0, 48))
+        return np.sin(lat), np.cos(lat)
+
+    def test_daily_mean_matches_fsol(self):
+        from speedyml.physics.constants import PP
+        from speedyml.physics.radiation import diurnal_tisr, solar
+
+        slat, clat = self._lats()
+        for tyear in (0.0, 0.25, 0.45, 0.75):
+            fsol = solar(tyear, 4.0 * PP.solc, slat, clat)
+            hours = np.arange(0, 24, 0.05)
+            acc = np.zeros((48, 96))
+            for h in hours:
+                acc += diurnal_tisr(tyear, h, slat, clat, 96)
+            mean = (acc / len(hours)).mean(axis=1)      # diurnal+zonal mean
+            np.testing.assert_allclose(mean, fsol, rtol=2e-3, atol=1e-3)
+
+    def test_noon_peak_and_night_zero(self):
+        from speedyml.physics.radiation import diurnal_tisr
+
+        slat, clat = self._lats()
+        t12 = diurnal_tisr(0.5, 12.0, slat, clat, 96)
+        eq = t12[24]
+        assert eq.argmax() == 0          # solar noon at Greenwich at 12 UTC
+        assert eq[48] == 0.0             # antipode is night
+        t00 = diurnal_tisr(0.5, 0.0, slat, clat, 96)
+        assert t00[24].argmax() == 48    # noon at the date line at 00 UTC
+        assert (t00 >= 0.0).all()
+
+
 class TestFullPhysicsRun:
     def test_three_days_stable(self, model):
         acc = model.run_days(3)
