@@ -37,6 +37,7 @@ class DailyFluxes(NamedTuple):
     hflux_s: jnp.ndarray
     hflux_i: jnp.ndarray
     precip: jnp.ndarray     # total precipitation [g/(m^2 s)] daily mean
+    evap: jnp.ndarray       # weighted evaporation [g/(m^2 s)] daily mean
     tsr: jnp.ndarray
     olr: jnp.ndarray
 
@@ -213,13 +214,14 @@ class Speedy:
                     hflux_i=acc.hflux_i + (fx.hfluxn_s + difice *
                                            (1.0 - surf.sice_am)) * rsteps,
                     precip=acc.precip + (fx.precnv + fx.precls) * rsteps,
+                    evap=acc.evap + fx.evap * rsteps,
                     tsr=acc.tsr + fx.tsr * rsteps,
                     olr=acc.olr + fx.olr * rsteps,
                 )
                 return (state, rad, acc, sst, tm), None
 
             z = jnp.zeros((cfg.il, cfg.ix), dtype=dy.dtype)
-            acc0 = DailyFluxes(z, z, z, z, z, z)
+            acc0 = DailyFluxes(z, z, z, z, z, z, z)
             (state, rad, acc, sppt_state, tm), _ = jax.lax.scan(
                 body, (state, rad, acc0, sppt_state, tm), jnp.arange(nsteps))
             return state, rad, acc, sppt_state, tm

@@ -59,6 +59,7 @@ class StepFluxes(NamedTuple):
 
     precnv: jnp.ndarray
     precls: jnp.ndarray
+    evap: jnp.ndarray       # land/sea-weighted evaporation [g/(m^2 s)]
     evap_l: jnp.ndarray
     evap_s: jnp.ndarray
     hfluxn_l: jnp.ndarray
@@ -194,7 +195,7 @@ class Physics:
             ttend = ttend + tt_rdf(randfh, randfv1, randfv2)
 
         fluxes = StepFluxes(precnv=precnv, precls=precls,
-                            evap_l=fx.evap_l, evap_s=fx.evap_s,
+                            evap=fx.evap, evap_l=fx.evap_l, evap_s=fx.evap_s,
                             hfluxn_l=fx.hfluxn_l, hfluxn_s=fx.hfluxn_s,
                             shf_s=fx.shf_s, ssrd=rad.ssrd,
                             ustr_s=fx.ustr_s, vstr_s=fx.vstr_s,
