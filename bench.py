@@ -1,18 +1,19 @@
-"""Benchmark: grid-point-steps/s/chip of the T30L8 spectral core.
+"""Benchmark: T30L8 throughput per chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The
-reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-measured against this repo's own recorded figure when available.
+Prints ONE JSON line. Primary metric (BASELINE.json north star): grid-points
+per second per chip of the FULL HYBRID STEP — reference-scale batched ESN
+prediction (1152 regions, n=5760 nodes, wout 1152x136x5896) + the 6-hour
+SPEEDY window with full physics + pack/scatter — the production inner loop
+(mpires.f90:218-804 + mod_reservoir.f90:1418-1489 combined). Secondary
+metrics: the dry-core ensemble figure (previous rounds' tracked number) in
+f32 and bfloat16 grid-compute modes.
 
-Throughput counts ensemble members x steps x gridpoints (the ensemble/batch
-axis is this model class's scaling dimension, SURVEY.md section 6): a single
-T30L8 member (~1.5 MB of state) cannot utilize an MXU, so the per-chip
-figure is measured at the best ensemble width.
+vs_baseline compares the same metric against BENCH_BASELINE.json (the
+reference publishes no throughput numbers; BASELINE.md).
 
 NOTE (measurement): on remote-tunnel backends (axon) `block_until_ready`
 returns before device execution finishes; the only true synchronization is a
-device->host transfer, which this bench uses. The first recorded baseline
-(8.3e9) predates this fix and is an async artifact (see BASELINE.md).
+device->host transfer, which this bench uses (BASELINE.md, round 1).
 """
 
 import json
@@ -21,7 +22,12 @@ import time
 import numpy as np
 
 
-def main():
+def _sync(arr):
+    np.asarray(arr.ravel()[0])       # true host sync on remote backends
+
+
+def bench_dry_core(cfg_dtype="float32", grid_compute="float32",
+                   ens_list=(64, 128), nsteps_chunk=96, nchunks=4):
     import jax
     import jax.numpy as jnp
 
@@ -35,65 +41,152 @@ def main():
     except Exception:
         orog = None
 
-    cfg = ModelConfig(dtype="float32")
+    cfg = ModelConfig(dtype=cfg_dtype, grid_compute=grid_compute)
     dy = Dycore(cfg, orog=orog)
     state0 = dy.stepone(rest_state(dy), dy.zero_forcing())
     forcing = dy.zero_forcing()
-
-    nsteps_chunk = 96
     gp = cfg.ix * cfg.il * cfg.kx
 
-    def sync(s):
-        np.asarray(s.ps[..., 0, 0, 0])   # true host sync
+    def measure(ens):
+        def step_one(s):
+            return dy.step(s, forcing, 1, 1, "delt2")
 
-    def measure(ens: int, nchunks: int = 4) -> float:
-        if ens == 1:
-            def run_chunk(s):
-                return dy.run_steps(s, forcing, nsteps_chunk)
-            state = state0
-        else:
-            def step_one(s):
-                return dy.step(s, forcing, 1, 1, "delt2")
+        def run_chunk(s):
+            def body(ss, _):
+                return jax.vmap(step_one)(ss), None
+            s, _ = jax.lax.scan(body, s, None, length=nsteps_chunk)
+            return s
 
-            def run_chunk(s):
-                def body(ss, _):
-                    return jax.vmap(step_one)(ss), None
-                s, _ = jax.lax.scan(body, s, None, length=nsteps_chunk)
-                return s
-            state = jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (ens,) + x.shape)
-                + 0.0, state0)
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (ens,) + x.shape) + 0.0,
+            state0)
         run = jax.jit(run_chunk)
         state = run(state)
-        sync(state)                      # compile + warm
+        _sync(state.ps)
         t0 = time.perf_counter()
         for _ in range(nchunks):
             state = run(state)
-        sync(state)
+        _sync(state.ps)
         dt = time.perf_counter() - t0
         return ens * nsteps_chunk * nchunks * gp / dt
 
-    best = 0.0
-    best_ens = 1
-    for ens in (16, 64, 128):
+    best, best_ens = 0.0, 0
+    for ens in ens_list:
         gps = measure(ens)
         if gps > best:
             best, best_ens = gps, ens
+    return best, best_ens
 
+
+def bench_hybrid_step(n_steps=16, reference_scale=True):
+    """Full hybrid step at reference reservoir scale, single trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from speedyml.core.config import ModelConfig, ReservoirConfig
+    from speedyml.domain.decomposition import build_layout, pack_global
+    from speedyml.hybrid.forecast import SpeedyForecaster
+    from speedyml.hybrid.state_io import GridState
+    from speedyml.model import Speedy
+    from speedyml.reservoir.esn import EsnParams, predict_step
+    from speedyml.domain.decomposition import scatter_outputs
+    from speedyml.core.calendar import ModelDate
+
+    cfg = ModelConfig(dtype="float32")
+    sp = Speedy(cfg)
+    sp.initialize(year=1982, month=1)
+    sp.run_days(2)                       # non-trivial state
+    L = build_layout(radang_deg=np.degrees(np.asarray(sp.dy.tables.radang)))
+
+    # reference-scale ESN parameters (timing-only: random values, real
+    # shapes/sparsity — m=6000 -> n=5760, deg 6, mod_reservoir.f90:91-93)
+    R, n_in, n_out = L.R, L.n_in, L.n_out
+    m = 6000 if reference_scale else 1152
+    n = (m // n_in) * n_in
+    deg = 6
+    rng = np.random.default_rng(0)
+    na = n + n_out
+    params = EsnParams(
+        a_idx=jnp.asarray(rng.integers(0, n, size=(R, n, deg)), jnp.int32),
+        a_val=jnp.asarray(rng.normal(size=(R, n, deg)) * 0.05, jnp.float32),
+        win=jnp.asarray(rng.uniform(-0.5, 0.5, size=(R, n)), jnp.float32),
+        wout=jnp.asarray(rng.normal(size=(R, n_out, na)) * 1e-3, jnp.float32),
+        node_map=jnp.asarray(np.arange(n) // (n // n_in), jnp.int32),
+        leakage=1.0)
+
+    fc = SpeedyForecaster(sp, hours=6, physics=True)
+    date = sp.date
+    surf, forcing, _, _ = fc._surf_forcing(date)
+    if fc._fn is None:
+        fc._fn = fc._build()
+    idx = jnp.asarray(L.input_index)
+    tidx = jnp.asarray(L.target_index)
+    win_fn = fc._fn
+
+    gs0 = None
+    from speedyml.hybrid.state_io import extract
+    gs0 = jax.tree.map(jnp.asarray, extract(sp.dy, sp.state, level=0))
+
+    @jax.jit
+    def hybrid_step(params, x, gs, surf, forcing, sst, tisr):
+        # 1. SPEEDY 6-h window (imperfect-model forecast)
+        res = win_fn(gs, surf, forcing)
+        f_atmo = jnp.stack([res.gs.t, res.gs.u, res.gs.v,
+                            jnp.maximum(res.gs.q, 1e-6)])
+        f_pr = jnp.log1p(jnp.maximum(res.precip_mm, 0.0) / 0.001)
+        model_gv = pack_global(L, f_atmo, res.gs.logp, f_pr, sst, tisr)
+        # 2. ESN predict on [gv from current state]
+        atmo = jnp.stack([gs.t, gs.u, gs.v, jnp.maximum(gs.q, 1e-6)])
+        gv = pack_global(L, atmo, gs.logp, f_pr * 0.0, sst, tisr)
+        x, out = predict_step(params, x, gv[idx], model_gv[tidx])
+        a2, logp2, pr2 = scatter_outputs(L, out)
+        gs2 = GridState(t=a2[0], u=a2[1], v=a2[2],
+                        q=jnp.maximum(a2[3], 0.0), logp=logp2)
+        return x, gs2
+
+    sst = jnp.asarray(np.asarray(sp.coupler.sst_am), jnp.float32)
+    tisr = jnp.asarray(np.full((cfg.il, cfg.ix), 300.0), jnp.float32)
+    x = jnp.zeros((R, n), jnp.float32)
+
+    # warm up (compile)
+    x, gs = hybrid_step(params, x, gs0, surf, forcing, sst, tisr)
+    _sync(gs.t)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        x, gs = hybrid_step(params, x, gs, surf, forcing, sst, tisr)
+    _sync(gs.t)
+    dt = time.perf_counter() - t0
+    gp = cfg.ix * cfg.il * cfg.kx
+    return n_steps * gp / dt, dt / n_steps
+
+
+def main():
+    out = {}
+    hybrid_gps, step_s = bench_hybrid_step()
+    out["hybrid_ms_per_step"] = round(step_s * 1e3, 2)
+
+    dry_f32, ens32 = bench_dry_core(grid_compute="float32")
+    dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")
+    out["dry_core_f32"] = round(dry_f32, 1)
+    out["dry_core_bf16"] = round(dry_bf16, 1)
+    out["dry_core_ens"] = ens32 if dry_f32 >= dry_bf16 else ens16
+
+    # baseline: only compare like-for-like (the r1 baseline tracked the dry
+    # core; the hybrid metric's own baseline appears under "hybrid_value")
     baseline = None
     try:
         with open("BENCH_BASELINE.json") as f:
-            baseline = json.load(f)["value"]
+            baseline = json.load(f).get("hybrid_value")
     except Exception:
         pass
-    vs = best / baseline if baseline else 1.0
+    vs = hybrid_gps / baseline if baseline else 1.0
 
     print(json.dumps({
-        "metric": "t30l8_gridpoint_steps_per_s_per_chip",
-        "value": round(best, 1),
+        "metric": "t30l8_hybrid_step_gridpoints_per_s_per_chip",
+        "value": round(hybrid_gps, 1),
         "unit": "gridpoint-steps/s/chip",
         "vs_baseline": round(vs, 3),
-        "ensemble": best_ens,
+        **out,
     }))
 
 

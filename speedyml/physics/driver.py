@@ -151,9 +151,12 @@ class Physics:
             icltop, cloudc, clstr, _ = cloud(st, qg, rh, precnv, precls,
                                              itop, gse, self.fmask1)
             out = radsw(st, sol, psg, qg, icltop, cloudc, clstr, surf.albsfc)
-            return RadCarry(tau2_lw=out.tau2_lw, stratc=out.stratc,
-                            tt_rsw=out.dfabs * rps[None] * grdscp,
-                            ssrd=out.ssrd, ssr=out.ssr, tsr=out.tsr)
+            new = RadCarry(tau2_lw=out.tau2_lw, stratc=out.stratc,
+                           tt_rsw=out.dfabs * rps[None] * grdscp,
+                           ssrd=out.ssrd, ssr=out.ssr, tsr=out.tsr)
+            # surface fields may arrive in a wider dtype (x64 test configs);
+            # both cond branches must return the carry's dtypes exactly
+            return jax.tree.map(lambda a, b: a.astype(b.dtype), new, rad)
 
         rad = jax.lax.cond(lradsw, do_sw, lambda _: rad, operand=None)
 
