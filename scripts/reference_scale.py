@@ -1,0 +1,255 @@
+"""Reference-scale hybrid run: m=6000 (n=5760) reservoirs, 1152 regions,
+n_aug=5896 ridge per region — the production workload the reference actually
+runs (src/mod_reservoir.f90:91-93, src/parallelmain.f90:32), executed on one
+TPU chip.
+
+Phases (run as separate processes; the training phase enables x64 for the
+on-device f64 ridge solve, which must not leak into the f32 data phase):
+
+  data   — generate the truth trajectory (full-physics SPEEDY) + imperfect
+           one-window forecasts (dry core) and cache them to npz. The last
+           --holdout samples are verification-only (never trained on).
+  train  — load the cache, train all 1152 regions at reference
+           hyperparameters (beta_res=0.001, beta_model=1.0, prior=0.0,
+           noise 0.20, discard 240 h — mod_reservoir.f90:85-101), persist
+           weights, synchronize, run a >=30-day hybrid prediction, score
+           vs persistence on the held-out truth.
+
+The ridge solve runs ON DEVICE in emulated f64: the axon tunnel moves
+~11 MB/s device->host, so pulling the (Rb, 5896, 5896) normal equations to
+the host (4.5 GB/block, ~320 GB total) is not feasible; TPU-emulated f64
+Cholesky (~0.2 TFLOP/s measured) solves each block in seconds instead.
+
+Usage:
+  python scripts/reference_scale.py data  --cache data/refscale.npz
+  python scripts/reference_scale.py train --cache data/refscale.npz
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+
+def peak_rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def phase_data(args):
+    from speedyml.core.config import ModelConfig
+    from speedyml.hybrid.experiment import (_grid_to_atmo, collect_forecasts,
+                                            TruthSeries)
+    from speedyml.hybrid.forecast import SpeedyForecaster, TrajectoryRunner
+    from speedyml.core.calendar import hours_since_epoch
+    from speedyml.model import Speedy
+
+    cfg = ModelConfig(dtype="float32")
+    sp = Speedy(cfg)
+    log("model built")
+    runner = TrajectoryRunner(sp)
+    runner.initialize(year=args.year, month=1, spinup_days=args.spinup_days)
+    log(f"spin-up done ({args.spinup_days} days)")
+
+    n = args.samples
+    atmo, logp, precip, sst, tisr, hours = [], [], [], [], [], []
+    for i in range(n):
+        s = runner.advance()
+        atmo.append(_grid_to_atmo(s.gs))
+        logp.append(np.asarray(s.gs.logp))
+        precip.append(s.precip_mm)
+        sst.append(s.sst)
+        tisr.append(s.tisr)
+        d = runner.date
+        hours.append(hours_since_epoch(d.iyear, d.imonth, d.iday, d.ihour))
+        if (i + 1) % 100 == 0:
+            log(f"truth {i+1}/{n}")
+    truth = TruthSeries(atmo=np.stack(atmo), logp=np.stack(logp),
+                        precip=np.stack(precip), sst=np.stack(sst),
+                        tisr=np.stack(tisr), hours=np.asarray(hours))
+    log(f"truth collected: {truth.atmo.shape}")
+
+    fc = SpeedyForecaster(sp, hours=6, physics=False)
+    m_atmo, m_logp, m_precip = collect_forecasts(fc, truth)
+    log("imperfect-model (dry core) forecasts done")
+
+    os.makedirs(os.path.dirname(args.cache) or ".", exist_ok=True)
+    np.savez(args.cache, atmo=truth.atmo, logp=truth.logp,
+             precip=truth.precip, sst=truth.sst, tisr=truth.tisr,
+             hours=truth.hours, m_atmo=m_atmo, m_logp=m_logp,
+             m_precip=m_precip)
+    log(f"cached -> {args.cache} "
+        f"({os.path.getsize(args.cache)/1e9:.2f} GB); "
+        f"peak rss {peak_rss_gb():.1f} GB")
+    print("DATA PHASE OK")
+
+
+def phase_train(args):
+    import jax
+    jax.config.update("jax_enable_x64", True)   # device f64 ridge solve
+    import jax.numpy as jnp
+
+    from speedyml.core.calendar import ModelDate, datetime_from_hours
+    from speedyml.core.config import ModelConfig, ReservoirConfig
+    from speedyml.domain.decomposition import build_layout
+    from speedyml.hybrid.experiment import (HybridRunner, TruthSeries,
+                                            train_hybrid, transform_and_pack)
+    from speedyml.hybrid.forecast import SpeedyForecaster
+    from speedyml.model import Speedy
+
+    timings = {}
+    z = np.load(args.cache)
+    truth = TruthSeries(atmo=z["atmo"], logp=z["logp"], precip=z["precip"],
+                        sst=z["sst"], tisr=z["tisr"], hours=z["hours"])
+    m_atmo, m_logp, m_precip = z["m_atmo"], z["m_logp"], z["m_precip"]
+    n_total = truth.atmo.shape[0]
+    n_train = n_total - args.holdout
+    log(f"cache loaded: {n_total} samples, {n_train} train / "
+        f"{args.holdout} held out")
+
+    cfg = ModelConfig(dtype="float32")
+    sp = Speedy(cfg)
+    # reference production hyperparameters (mod_reservoir.f90:85-101):
+    # m=6000 -> n=5760, deg 6, sigma 0.5, leakage 1, beta_res 1e-3,
+    # beta_model 1.0, prior 0, noise 0.20, discard 240 h
+    rcfg = ReservoirConfig(nodes_per_input=args.m, prior_val=args.prior,
+                           discardlength=args.discard)
+    L = build_layout(radang_deg=np.degrees(np.asarray(sp.dy.tables.radang)))
+    log(f"layout: R={L.R}, n_in={L.n_in}, n_out={L.n_out}, "
+        f"n_aug={L.n_out + (args.m // L.n_in) * L.n_in}")
+
+    gv_truth = transform_and_pack(L, truth.atmo, truth.logp, truth.precip,
+                                  truth.sst, truth.tisr, rcfg.precip_epsilon)
+    gv_model = transform_and_pack(L, m_atmo, m_logp, m_precip,
+                                  truth.sst, truth.tisr, rcfg.precip_epsilon)
+    log(f"packed: gv {gv_truth.shape}")
+
+    t = time.time()
+    hm = train_hybrid(L, rcfg, gv_truth[:n_train], gv_model[:n_train],
+                      seed=0, region_block=args.region_block,
+                      solver="device", verbose=True)
+    timings["train_s"] = time.time() - t
+    log(f"TRAIN done in {timings['train_s']:.0f}s: wout {hm.params.wout.shape}"
+        f" ({hm.params.wout.nbytes/1e9:.2f} GB), peak rss {peak_rss_gb():.1f} GB")
+
+    if args.weights:
+        t = time.time()
+        from speedyml.io.weights import save_model
+        os.makedirs(os.path.dirname(args.weights) or ".", exist_ok=True)
+        save_model(args.weights, hm)
+        timings["persist_s"] = time.time() - t
+        log(f"weights persisted -> {args.weights} "
+            f"({os.path.getsize(args.weights)/1e9:.2f} GB, "
+            f"{timings['persist_s']:.0f}s)")
+
+    # synchronize on the last synclength hours of the training window
+    # (mod_reservoir.f90:940-961), then predict the held-out window
+    n_sync = rcfg.synclength // rcfg.timestep
+    t = time.time()
+    x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
+    timings["sync_s"] = time.time() - t
+    log(f"synchronized ({n_sync} steps, {timings['sync_s']:.0f}s)")
+
+    s = L.gv_sizes
+    last = gv_truth[n_train - 1]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+    y, m, d, h = datetime_from_hours(int(truth.hours[n_train - 1]))
+    date0 = ModelDate(y, m, d, h)
+
+    fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
+    hrun = HybridRunner(hm, fc_speedy)
+    n_fc = min(args.fc_steps, args.holdout)
+    t = time.time()
+    out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc)
+    timings["predict_s"] = time.time() - t
+    log(f"prediction: {n_fc} steps in {timings['predict_s']:.0f}s, "
+        f"aborted={out['aborted']}")
+    a = out["atmo"]
+    assert a is not None and np.all(np.isfinite(a)), "non-finite forecast"
+
+    # skill vs persistence on the held-out truth
+    ver = truth.atmo[n_train:n_train + n_fc]
+    per = truth.atmo[n_train - 1]
+    lat = np.asarray(sp.dy.tables.radang)
+    w = np.cos(lat)[None, :, None]
+    w = w / w.mean()
+
+    def wrms(x2):   # area-weighted RMS over (kx, il, ix)
+        return float(np.sqrt(np.mean(x2 * w)))
+
+    results = {"n_train": int(n_train), "n_fc": int(n_fc),
+               "m": args.m, "n": (args.m // L.n_in) * L.n_in,
+               "n_aug": L.n_out + (args.m // L.n_in) * L.n_in,
+               "regions": int(L.R), "prior": args.prior,
+               "timings_s": {k: round(v, 1) for k, v in timings.items()},
+               "peak_rss_gb": round(peak_rss_gb(), 1), "leads": {}}
+    steps_chk = sorted({1, 4, 20, 40, 80, n_fc} & set(range(1, n_fc + 1)))
+    names = ["T", "u", "v", "q"]
+    for step in steps_chk:
+        i = step - 1
+        lead_h = step * rcfg.timestep
+        row = {}
+        for v, nm in enumerate(names):
+            rh = wrms((a[i, v] - ver[i, v]) ** 2)
+            rp = wrms((per[v] - ver[i, v]) ** 2)
+            row[nm] = {"hybrid": round(rh, 4), "persistence": round(rp, 4)}
+        results["leads"][f"{lead_h}h"] = row
+        log(f"lead {lead_h:5d}h: " + "  ".join(
+            f"{nm} {row[nm]['hybrid']:.3f}/{row[nm]['persistence']:.3f}"
+            for nm in names) + "  (hybrid/persistence RMS)")
+    final = results["leads"][f"{n_fc * rcfg.timestep}h"]
+    wins = sum(final[nm]["hybrid"] < final[nm]["persistence"] for nm in names)
+    results["beats_persistence_at_final_lead"] = int(wins)
+    with open(args.results, "w") as f:
+        json.dump(results, f, indent=1)
+    log(f"results -> {args.results}; hybrid beats persistence on "
+        f"{wins}/4 variables at {n_fc * rcfg.timestep}h")
+    print("TRAIN PHASE OK")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["data", "train"])
+    ap.add_argument("--cache", default="data/refscale.npz")
+    ap.add_argument("--samples", type=int, default=2364,
+                    help="total truth samples (train + holdout)")
+    ap.add_argument("--holdout", type=int, default=124,
+                    help="verification-only samples at the end (31 days)")
+    ap.add_argument("--spinup-days", type=int, default=30)
+    ap.add_argument("--year", type=int, default=1982)
+    ap.add_argument("--m", type=int, default=6000,
+                    help="target reservoir size (n rounded to mult of n_in)")
+    ap.add_argument("--prior", type=float, default=0.0)
+    ap.add_argument("--discard", type=int, default=240,
+                    help="discard length in hours (reference: 240)")
+    ap.add_argument("--region-block", type=int, default=8)
+    ap.add_argument("--fc-steps", type=int, default=124)
+    ap.add_argument("--weights", default="data/refscale_weights.nc")
+    ap.add_argument("--results", default="data/refscale_results.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.phase == "data":
+        phase_data(args)
+    else:
+        phase_train(args)
+
+
+if __name__ == "__main__":
+    main()

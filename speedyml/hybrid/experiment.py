@@ -260,7 +260,8 @@ class HybridModel:
 def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                  gv_truth: np.ndarray, gv_model: Optional[np.ndarray],
                  seed: int = 0, region_block: int = 0,
-                 chunk: int = 64) -> HybridModel:
+                 chunk: int = 64, solver: str = "host",
+                 verbose: bool = False) -> HybridModel:
     """Train all regions' readouts by blocked normal-equation accumulation.
 
     gv_truth: (T, gv_len) transformed truth series.
@@ -269,6 +270,10 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     region_block: regions trained per device pass (0 = all at once; at full
     scale the (Rb, na, na) normal equations bound the block size — the
     reference instead serializes one region per MPI rank).
+    solver: "host" (numpy f64 LU; pulls the normal equations to the host) or
+    "device" (TPU-emulated f64 Cholesky; needs jax_enable_x64 — the right
+    choice on remote-tunnel backends where the device->host pull is
+    bandwidth-prohibitive at reference scale).
     """
     R = layout.R
     ml_only = gv_model is None
@@ -296,6 +301,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     wout_parts, idx_parts, val_parts, win_parts = [], [], [], []
     q_nodes = None
     key = jax.random.PRNGKey(seed)
+    import time as _time
+    t_start = _time.time()
     for bi, blk in enumerate(blocks):
         Rb = len(blk)
         n_model = 0 if ml_only else layout.n_out
@@ -323,13 +330,24 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             params, acc, u_blk[discard:-1], y_blk[discard + 1:],
             None if ml_only else m_blk[discard + 1:],
             noise_mag=rcfg.noise_std, rng_key=kt, chunk=chunk)
-        wout = ridge_solve(acc, n_model, rcfg.beta_res, rcfg.beta_model,
-                           prior_val=rcfg.prior_val,
-                           use_prior=rcfg.prior_val != 0.0)
+        if solver == "device":
+            from ..reservoir.training import ridge_solve_device
+            wout = ridge_solve_device(acc, n_model, rcfg.beta_res,
+                                      rcfg.beta_model,
+                                      prior_val=rcfg.prior_val,
+                                      use_prior=rcfg.prior_val != 0.0)
+        else:
+            wout = ridge_solve(acc, n_model, rcfg.beta_res, rcfg.beta_model,
+                               prior_val=rcfg.prior_val,
+                               use_prior=rcfg.prior_val != 0.0)
         wout_parts.append(np.asarray(wout, np.float32))
         idx_parts.append(np.asarray(params.a_idx))
         val_parts.append(np.asarray(params.a_val))
         win_parts.append(np.asarray(params.win))
+        if verbose and (bi % 8 == 0 or bi == len(blocks) - 1):
+            el = _time.time() - t_start
+            print(f"  train block {bi+1}/{len(blocks)} "
+                  f"({el:.0f}s, {el/(bi+1):.1f}s/block)", flush=True)
 
     n_nodes = win_parts[0].shape[1]
     params_all = EsnParams(

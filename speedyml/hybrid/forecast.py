@@ -84,7 +84,20 @@ class SpeedyForecaster:
                       + fx.shf_s + fx.evap_s * PP.alhc)
             return fx.hfluxn_s + difice * (1.0 - surf.sice_am)
 
+        def _cast(tree):
+            # surf/forcing leaves arrive as host numpy (f64 when the process
+            # runs with x64 for the ridge solve); pin them to the core dtype
+            # so no f64 creeps into the physics under jit
+            def leaf(a):
+                a = jnp.asarray(a)
+                return a.astype(dy.dtype) if jnp.issubdtype(
+                    a.dtype, jnp.floating) else a
+            return jax.tree.map(leaf, tree)
+
         def window(gs: GridState, surf, forcing: Forcing):
+            surf = _cast(surf)
+            forcing = _cast(forcing)
+            gs = _cast(gs)
             state, safe = inject(dy, gs)
             z = jnp.zeros((cfg.il, cfg.ix), dtype=dy.dtype)
 

@@ -68,6 +68,7 @@ class Speedy:
             forog=np.asarray(forog, np_dtype),
             fmask1=np.asarray(self.clim.fmask_l, np_dtype),
             phis0_grid=np.asarray(self.dy.phis0_grid, np_dtype),
+            dtype=np_dtype,
         )
 
         self.date: Optional[ModelDate] = None

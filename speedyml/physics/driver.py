@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .constants import PP, SigmaTables
 from .humidity import rel_hum
@@ -84,7 +85,16 @@ def init_rad_carry(kx: int, il: int, ix: int, dtype) -> RadCarry:
 class Physics:
     """Holds static physics tables; exposes the per-step function."""
 
-    def __init__(self, st: SigmaTables, clat, forog, fmask1, phis0_grid):
+    def __init__(self, st: SigmaTables, clat, forog, fmask1, phis0_grid,
+                 dtype=None):
+        if dtype is not None:
+            # pin the sigma tables to the compute dtype: they are f64 numpy
+            # (host precision) and would otherwise enter the jitted physics
+            # as f64 constants when the process runs with x64 enabled
+            import dataclasses as _dc
+            st = _dc.replace(st, **{
+                f.name: np.asarray(getattr(st, f.name), dtype)
+                for f in _dc.fields(st)})
         self.st = st
         self.clat = clat          # (il,) jnp
         self.forog = forog        # (il, ix) jnp

@@ -175,6 +175,66 @@ def drive_discard(params: EsnParams, x, inputs, noise_mag: float = 0.0,
     return x
 
 
+def _ridge_diag_rhs(ss, sy, xp, n_model, beta_res, beta_model, prior_val,
+                    use_prior):
+    """Shared ridge assembly: add the beta diagonal (beta with no prior,
+    beta^2 with — fit_chunk_hybrid, mod_reservoir.f90:1235-1334) and the
+    prior RHS. xp = numpy or jax.numpy."""
+    na = ss.shape[-1]
+    diag = xp.full((na,), beta_res if not use_prior else beta_res**2,
+                   ss.dtype)
+    if n_model > 0:
+        if xp is np:
+            diag[:n_model] = beta_model if not use_prior else beta_model**2
+        else:
+            diag = diag.at[:n_model].set(
+                beta_model if not use_prior else beta_model**2)
+    ss = ss + xp.diag(diag)[None]
+    if use_prior and n_model > 0:
+        n_out = sy.shape[1]
+        k = min(n_model, n_out)
+        if xp is np:
+            sy = sy.copy()
+            sy[:, np.arange(k), np.arange(k)] += prior_val * beta_model**2
+        else:
+            import jax.numpy as jnp
+            sy = sy.at[:, jnp.arange(k), jnp.arange(k)].add(
+                prior_val * beta_model**2)
+    return ss, sy
+
+
+def ridge_solve_device(acc: NormalEq, n_model: int, beta_res: float,
+                       beta_model: float, prior_val: float = 0.0,
+                       use_prior: bool = False) -> "jax.Array":
+    """On-device f64 ridge solve (requires jax_enable_x64).
+
+    For remote-tunnel backends (axon) where pulling the (R, na, na) normal
+    equations to the host is bandwidth-prohibitive (~4.5 GB per 8-region
+    block at reference scale, ~11 MB/s tunnel): promote the compensated
+    (hi, lo) f32 accumulators to f64 ON DEVICE, Cholesky-factor (the system
+    is SPD + ridge), and solve — TPU-emulated f64 runs at ~0.2 TFLOP/s,
+    seconds per block. Same math as ridge_solve; returns wout
+    (R, n_out, na) float32 ON DEVICE.
+    """
+    import jax
+    import jax.numpy as jnp
+    assert jax.config.read("jax_enable_x64"), \
+        "ridge_solve_device needs jax_enable_x64"
+
+    @jax.jit
+    def solve(ss_hi, ss_lo, sy_hi, sy_lo):
+        ss = ss_hi.astype(jnp.float64) + ss_lo.astype(jnp.float64)
+        sy = sy_hi.astype(jnp.float64) + sy_lo.astype(jnp.float64)
+        ss = 0.5 * (ss + jnp.swapaxes(ss, 1, 2))   # exact symmetry for chol
+        ss, sy = _ridge_diag_rhs(ss, sy, jnp, n_model, beta_res, beta_model,
+                                 prior_val, use_prior)
+        c = jnp.linalg.cholesky(ss)
+        wt = jax.scipy.linalg.cho_solve((c, True), jnp.swapaxes(sy, 1, 2))
+        return jnp.swapaxes(wt, 1, 2).astype(jnp.float32)
+
+    return solve(acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+
+
 def ridge_solve(acc: NormalEq, n_model: int, beta_res: float,
                 beta_model: float, prior_val: float = 0.0,
                 use_prior: bool = False) -> np.ndarray:
@@ -185,15 +245,7 @@ def ridge_solve(acc: NormalEq, n_model: int, beta_res: float,
     """
     ss = np.asarray(acc.ss_hi, np.float64) + np.asarray(acc.ss_lo, np.float64)
     sy = np.asarray(acc.sy_hi, np.float64) + np.asarray(acc.sy_lo, np.float64)
-    R, na, _ = ss.shape
-    diag = np.full(na, beta_res if not use_prior else beta_res**2)
-    diag[:n_model] = beta_model if not use_prior else beta_model**2
-    ss = ss + np.diag(diag)[None]
-    if use_prior and n_model > 0:
-        prior = np.zeros_like(sy)
-        n_out = sy.shape[1]
-        k = min(n_model, n_out)
-        prior[:, np.arange(k), np.arange(k)] = prior_val * beta_model**2
-        sy = sy + prior
+    ss, sy = _ridge_diag_rhs(ss, sy, np, n_model, beta_res, beta_model,
+                             prior_val, use_prior)
     wout = np.linalg.solve(ss, np.swapaxes(sy, 1, 2))   # (R, na, n_out)
     return np.swapaxes(wout, 1, 2)

@@ -238,3 +238,34 @@ class TestDomain:
         r = 0
         patch = inp[r, s0:s0 + L.inpy * L.inpx].reshape(L.inpy, L.inpx)
         np.testing.assert_allclose(patch[0, 1:3], logp[0, 0:2])
+
+
+class TestRidgeSolvers:
+    def _random_acc(self, seed, R=3, na=40, n_out=5, T=60):
+        """NormalEq with a realistic hi/lo split from actual accumulation."""
+        rng = np.random.default_rng(seed)
+        aug = rng.normal(size=(T, R, na)).astype(np.float32)
+        y = rng.normal(size=(T, R, n_out)).astype(np.float32)
+        from speedyml.reservoir.training import _two_sum
+        hi = jnp.zeros((R, na, na)); lo = jnp.zeros_like(hi)
+        shi = jnp.zeros((R, n_out, na)); slo = jnp.zeros_like(shi)
+        for t0 in range(0, T, 20):
+            a = jnp.asarray(aug[t0:t0 + 20])
+            hi, lo = _two_sum(hi, lo, jnp.einsum("tra,trb->rab", a, a))
+            shi, slo = _two_sum(shi, slo, jnp.einsum(
+                "tro,tra->roa", jnp.asarray(y[t0:t0 + 20]), a))
+        return NormalEq(ss_hi=hi, ss_lo=lo, sy_hi=shi, sy_lo=slo,
+                        x=jnp.zeros((R, 4)))
+
+    @pytest.mark.parametrize("n_model,prior", [(0, 0.0), (5, 0.0), (5, 0.7)])
+    def test_device_solver_matches_host(self, n_model, prior):
+        """ridge_solve_device (on-device f64 Cholesky, used on tunnel
+        backends where pulling the normal equations to the host is
+        bandwidth-prohibitive) must agree with the host f64 LU solve."""
+        from speedyml.reservoir.training import ridge_solve, ridge_solve_device
+        acc = self._random_acc(0)
+        kw = dict(n_model=n_model, beta_res=1e-3, beta_model=1.0,
+                  prior_val=prior, use_prior=prior != 0.0)
+        w_host = ridge_solve(acc, **kw)
+        w_dev = np.asarray(ridge_solve_device(acc, **kw), np.float64)
+        np.testing.assert_allclose(w_dev, w_host, rtol=2e-5, atol=2e-5)
