@@ -121,7 +121,7 @@ def main():
     ocean = None
     x_ocean = None
     if args.ocean:
-        from speedyml.reservoir.slab import train_ocean, weekly_average
+        from speedyml.reservoir.slab import train_ocean, weekly_ocean_inputs
         # small slab reservoir: weekly cadence gives samples/7/24*6 points,
         # so n must stay modest for the demo training lengths
         om_rcfg = ReservoirConfig(slab_nodes=500,
@@ -129,7 +129,7 @@ def main():
                                   timestep_slab=168)
         ocean = train_ocean(L, om_rcfg, gv_truth, seed=100, region_block=576)
         spw = ocean.steps_per_week
-        gv_w = weekly_average(gv_truth, spw)
+        gv_w = weekly_ocean_inputs(gv_truth, spw, L)
         x_ocean = ocean.synchronize(gv_w)
         print(f"[{time.time()-t0:6.1f}s] slab-ocean trained: "
               f"{int(ocean.active.sum())}/{ocean.ol.R} active regions",

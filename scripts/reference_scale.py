@@ -220,9 +220,96 @@ def phase_train(args):
     print("TRAIN PHASE OK")
 
 
+def phase_coupled(args):
+    """Config 5: multi-year coupled run — trained atmosphere reservoirs +
+    slab-ocean reservoir + SPEEDY, SST fed back to both the reservoirs and
+    SPEEDY's boundary (cpl_sea.f90:38-44), with incremental NetCDF output
+    and periodic exact-resume checkpoints."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from speedyml.core.calendar import ModelDate, datetime_from_hours
+    from speedyml.core.config import ModelConfig, ReservoirConfig
+    from speedyml.hybrid.experiment import (HybridRunner, TruthSeries,
+                                            transform_and_pack)
+    from speedyml.hybrid.forecast import SpeedyForecaster
+    from speedyml.io.output import ForecastWriter
+    from speedyml.io.weights import load_model
+    from speedyml.model import Speedy
+    from speedyml.reservoir.slab import train_ocean, weekly_ocean_inputs
+
+    z = np.load(args.cache)
+    truth = TruthSeries(atmo=z["atmo"], logp=z["logp"], precip=z["precip"],
+                        sst=z["sst"], tisr=z["tisr"], hours=z["hours"])
+    n_train = truth.atmo.shape[0] - args.holdout
+    cfg = ModelConfig(dtype="float32")
+    sp = Speedy(cfg)
+    radang_deg = np.degrees(np.asarray(sp.dy.tables.radang))
+    hm = load_model(args.weights, radang_deg=radang_deg)
+    L = hm.layout
+    log(f"weights loaded: wout {hm.params.wout.shape}")
+
+    rcfg = hm.rcfg
+    gv_truth = transform_and_pack(L, truth.atmo, truth.logp, truth.precip,
+                                  truth.sst, truth.tisr, rcfg.precip_epsilon)
+
+    # slab-ocean reservoir trained on the same cached series; modest size —
+    # weekly cadence gives only n_train/28 samples (the reference trains on
+    # decades; this is the machinery at the coupled operating point)
+    orcfg = ReservoirConfig(slab_nodes=args.ocean_m,
+                            discardlength=rcfg.discardlength,
+                            timestep_slab=args.slab_hours)
+    ocean = train_ocean(L, orcfg, gv_truth[:n_train], seed=100,
+                        region_block=576)
+    spw = ocean.steps_per_week
+    gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
+    x_ocean = ocean.synchronize(gv_w)
+    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active")
+
+    n_sync = rcfg.synclength // rcfg.timestep
+    x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
+    s = L.gv_sizes
+    last = gv_truth[n_train - 1]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+    y, m, d, h = datetime_from_hours(int(truth.hours[n_train - 1]))
+    date0 = ModelDate(y, m, d, h)
+
+    fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
+    hrun = HybridRunner(hm, fc_speedy)
+    writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix, with_sst=True)
+    t = time.time()
+    out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
+                   ocean=ocean, x_ocean=x_ocean, writer=writer,
+                   checkpoint_path=args.out + ".ckpt.npz",
+                   checkpoint_every=112)
+    writer.close()
+    dt = time.time() - t
+    a = out["atmo"]
+    nsteps = 0 if a is None else len(a)
+    log(f"coupled run: {nsteps}/{args.fc_steps} steps in {dt:.0f}s "
+        f"({dt/max(nsteps,1):.2f}s/step), aborted={out['aborted']}")
+    assert a is not None and np.all(np.isfinite(a)), "non-finite state"
+    sstt = out["sst"]
+    res = {"steps": int(nsteps), "sim_days": nsteps / 4,
+           "wall_s": round(dt, 1), "aborted": bool(out["aborted"]),
+           "peak_rss_gb": round(peak_rss_gb(), 1),
+           "T_range": [float(a[:, 0].min()), float(a[:, 0].max())],
+           "u_range": [float(a[:, 1].min()), float(a[:, 1].max())],
+           "q_range": [float(a[:, 3].min()), float(a[:, 3].max())],
+           "sst_range": [float(sstt.min()), float(sstt.max())],
+           "sst_drift_K": float(np.abs(sstt[-1] - sstt[0]).max())}
+    with open(args.results, "w") as f:
+        json.dump(res, f, indent=1)
+    log(f"results -> {args.results}: {res}")
+    print("COUPLED PHASE OK")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["data", "train"])
+    ap.add_argument("phase", choices=["data", "train", "coupled"])
     ap.add_argument("--cache", default="data/refscale.npz")
     ap.add_argument("--samples", type=int, default=2364,
                     help="total truth samples (train + holdout)")
@@ -239,6 +326,12 @@ def main():
     ap.add_argument("--fc-steps", type=int, default=124)
     ap.add_argument("--weights", default="data/refscale_weights.nc")
     ap.add_argument("--results", default="data/refscale_results.json")
+    ap.add_argument("--ocean-m", type=int, default=2000,
+                    help="slab-ocean reservoir target size (coupled phase)")
+    ap.add_argument("--slab-hours", type=int, default=168,
+                    help="ocean reservoir cadence in hours (reference: 168)")
+    ap.add_argument("--out", default="data/coupled_run.nc",
+                    help="coupled-phase forecast NetCDF output")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
@@ -247,8 +340,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.phase == "data":
         phase_data(args)
-    else:
+    elif args.phase == "train":
         phase_train(args)
+    else:
+        phase_coupled(args)
 
 
 if __name__ == "__main__":

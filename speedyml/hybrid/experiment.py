@@ -450,7 +450,11 @@ class HybridRunner:
                     if x_ocean is None:
                         x_ocean = jnp.zeros(
                             (ocean.ol.R, ocean.params.n), jnp.float32)
-                    x_ocean, sst_core = ocean.step(x_ocean, gv_sum / spw)
+                    # week-mean ATMO blocks + instantaneous SST/TISR/OHTC
+                    # (mpires.f90:776-791; see slab.weekly_ocean_inputs)
+                    from ..reservoir.slab import compose_week_inputs
+                    gv_week = compose_week_inputs(gv, gv_sum, spw, L)
+                    x_ocean, sst_core = ocean.step(x_ocean, gv_week)
                     clim_sst, _ = self._sst_tisr(date)
                     sst_cur = ocean.compose_sst(
                         np.asarray(sst_core), clim_sst, L)

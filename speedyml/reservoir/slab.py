@@ -103,13 +103,45 @@ def build_ocean_layout(L: RegionLayout, bottom_level: Optional[int] = None
 
 
 def weekly_average(gv_series: np.ndarray, steps_per_week: int) -> np.ndarray:
-    """Average the 6-hourly transformed supervector over each week window
-    (rolling_average_over_a_period, mod_utilities.f90; ocean-input averaging
-    mpires.f90:776-791). Returns (T_w, gv_len)."""
+    """Average the 6-hourly transformed supervector over each week window.
+    Plain block-mean of EVERY field — see weekly_ocean_inputs for the
+    reference's actual input mixing. Returns (T_w, gv_len)."""
     T = gv_series.shape[0]
     Tw = T // steps_per_week
     return gv_series[:Tw * steps_per_week].reshape(
         Tw, steps_per_week, -1).mean(axis=1)
+
+
+def weekly_ocean_inputs(gv_series: np.ndarray, steps_per_week: int,
+                        L: RegionLayout) -> np.ndarray:
+    """Ocean-reservoir input series at slab cadence, with the reference's
+    mixing: ONLY the atmosphere blocks (atmo3d + logp) are week-averaged
+    (rolling_average_over_a_period_2d applied to atmo3d_start:logp_end,
+    mod_slab_ocean_reservoir.f90:398; prediction-time averaging
+    mpires.f90:776-791); the SST/TISR/OHTC blocks stay INSTANTANEOUS values
+    at the week boundary (the reference strides the un-averaged trainingdata
+    at ::timestep_slab). Returns (T_w, gv_len)."""
+    T = gv_series.shape[0]
+    Tw = T // steps_per_week
+    g = gv_series[:Tw * steps_per_week].reshape(Tw, steps_per_week, -1)
+    out = np.array(g[:, -1], copy=True)            # week-boundary endpoint
+    for name in ("atmo3d", "logp"):
+        s0, s1 = L.gv_sizes[name]
+        out[:, s0:s1] = g[:, :, s0:s1].mean(axis=1)
+    return out
+
+
+def compose_week_inputs(gv_end, gv_sum, steps_per_week: int,
+                        L: RegionLayout):
+    """Prediction-time analog of weekly_ocean_inputs for ONE week window:
+    gv_end is the current (week-boundary) supervector, gv_sum the running sum
+    over the window. Atmosphere blocks become the window mean, everything
+    else keeps the instantaneous endpoint (mpires.f90:776-791)."""
+    out = jnp.asarray(gv_end)
+    for name in ("atmo3d", "logp"):
+        s0, s1 = L.gv_sizes[name]
+        out = out.at[s0:s1].set(gv_sum[s0:s1] / steps_per_week)
+    return out
 
 
 def _section_stats(series: np.ndarray, sections: dict, groups: dict,
@@ -211,12 +243,15 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
     (train_slab_ocean_model, mod_slab_ocean_reservoir.f90:172-269)."""
     ol = build_ocean_layout(L, bottom_level)
     spw = rcfg.timestep_slab // rcfg.timestep
-    gv_w = weekly_average(gv_truth, spw)
+    gv_w = weekly_ocean_inputs(gv_truth, spw, L)
     Tw = gv_w.shape[0]
     assert Tw > 4, "need more than 4 weekly samples to train the slab ocean"
 
     inputs = gv_w[:, ol.input_index]                       # (Tw, R, n_in)
-    # targets: endpoint SST (+OHTC) at week boundaries (not averaged)
+    # targets: INSTANTANEOUS SST (+OHTC) at week boundaries — the reference
+    # never averages the SST block (rolling_average_over_a_period_2d covers
+    # only atmo3d_start:logp_end, mod_slab_ocean_reservoir.f90:398) and
+    # strides the raw series at ::timestep_slab for training
     ends = np.arange(1, Tw + 1) * spw - 1
     targets_raw = gv_truth[ends][:, ol.target_index]       # (Tw, R, n_out)
 

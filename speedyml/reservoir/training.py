@@ -19,6 +19,7 @@ solve (src/mod_reservoir.f90:963-1334, src/mod_linalg.f90:109-151):
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -205,7 +206,8 @@ def _ridge_diag_rhs(ss, sy, xp, n_model, beta_res, beta_model, prior_val,
 
 def ridge_solve_device(acc: NormalEq, n_model: int, beta_res: float,
                        beta_model: float, prior_val: float = 0.0,
-                       use_prior: bool = False) -> "jax.Array":
+                       use_prior: bool = False,
+                       sub_batch: int = 2) -> "jax.Array":
     """On-device f64 ridge solve (requires jax_enable_x64).
 
     For remote-tunnel backends (axon) where pulling the (R, na, na) normal
@@ -215,11 +217,34 @@ def ridge_solve_device(acc: NormalEq, n_model: int, beta_res: float,
     is SPD + ridge), and solve — TPU-emulated f64 runs at ~0.2 TFLOP/s,
     seconds per block. Same math as ridge_solve; returns wout
     (R, n_out, na) float32 ON DEVICE.
+
+    sub_batch: regions factored per solve launch — the blocked f64 Cholesky
+    holds several (r, na, na) f64 copies live, so at na=5896 more than ~2
+    regions per launch exceeds the 16 GB HBM even when the accumulation
+    block is larger.
     """
     import jax
     import jax.numpy as jnp
     assert jax.config.read("jax_enable_x64"), \
         "ridge_solve_device needs jax_enable_x64"
+
+    solve = _device_solver(n_model, beta_res, beta_model, prior_val,
+                           use_prior)
+    R = acc.ss_hi.shape[0]
+    if R <= sub_batch:
+        return solve(acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+    parts = []
+    for i in range(0, R, sub_batch):
+        j = min(i + sub_batch, R)
+        parts.append(solve(acc.ss_hi[i:j], acc.ss_lo[i:j],
+                           acc.sy_hi[i:j], acc.sy_lo[i:j]))
+    return jnp.concatenate(parts, axis=0)
+
+
+@_functools.lru_cache(maxsize=8)
+def _device_solver(n_model, beta_res, beta_model, prior_val, use_prior):
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def solve(ss_hi, ss_lo, sy_hi, sy_lo):
@@ -232,7 +257,7 @@ def ridge_solve_device(acc: NormalEq, n_model: int, beta_res: float,
         wt = jax.scipy.linalg.cho_solve((c, True), jnp.swapaxes(sy, 1, 2))
         return jnp.swapaxes(wt, 1, 2).astype(jnp.float32)
 
-    return solve(acc.ss_hi, acc.ss_lo, acc.sy_hi, acc.sy_lo)
+    return solve
 
 
 def ridge_solve(acc: NormalEq, n_model: int, beta_res: float,

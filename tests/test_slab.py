@@ -3,8 +3,9 @@
 import numpy as np
 import jax.numpy as jnp
 
-from speedyml.reservoir.slab import (build_ocean_layout, train_ocean,
-                                     weekly_average)
+from speedyml.reservoir.slab import (build_ocean_layout, compose_week_inputs,
+                                     train_ocean, weekly_average,
+                                     weekly_ocean_inputs)
 from speedyml.hybrid.experiment import (HybridRunner, train_hybrid,
                                         transform_and_pack)
 from tests.test_hybrid import _small_layout, _small_rcfg, _synthetic_truth
@@ -46,6 +47,33 @@ def test_weekly_average():
     np.testing.assert_allclose(w[0], s[:4].mean(axis=0))
 
 
+def test_weekly_ocean_input_mixing():
+    """The reference averages ONLY the atmosphere blocks over the week
+    (rolling_average_over_a_period_2d on atmo3d_start:logp_end,
+    mod_slab_ocean_reservoir.f90:398); SST/TISR stay instantaneous values at
+    the week boundary. Pin that mixing for both the training-series builder
+    and the prediction-time composer."""
+    L = _small_layout()
+    T, spw = 8, 4
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(T, L.gv_len)).astype(np.float32)
+    w = weekly_ocean_inputs(s, spw, L)
+    assert w.shape == (2, L.gv_len)
+    for name in ("atmo3d", "logp"):
+        s0, s1 = L.gv_sizes[name]
+        np.testing.assert_allclose(w[0, s0:s1], s[:spw, s0:s1].mean(0),
+                                   rtol=1e-6)
+    for name in ("sst", "tisr", "precip"):
+        s0, s1 = L.gv_sizes[name]
+        np.testing.assert_allclose(w[0, s0:s1], s[spw - 1, s0:s1])
+        np.testing.assert_allclose(w[1, s0:s1], s[2 * spw - 1, s0:s1])
+    # prediction-time composer must agree with the training-series builder
+    gv_sum = s[:spw].sum(axis=0)
+    c = np.asarray(compose_week_inputs(jnp.asarray(s[spw - 1]),
+                                       jnp.asarray(gv_sum), spw, L))
+    np.testing.assert_allclose(c, w[0], rtol=1e-6)
+
+
 def test_train_ocean_and_predict():
     """Trained slab reservoirs beat persistence-of-climatology on the
     synthetic SST wave (train_slab_ocean_model ->
@@ -61,8 +89,8 @@ def test_train_ocean_and_predict():
     assert spw == 4
     assert om.active.any(), "synthetic SST varies: some regions active"
 
-    # sync on weekly means, then predict one week ahead
-    gv_w = weekly_average(gv, spw)
+    # sync on the mixed weekly inputs, then predict one week ahead
+    gv_w = weekly_ocean_inputs(gv, spw, L)
     Tw = gv_w.shape[0]
     x = om.synchronize(gv_w[:Tw - 2])
     x, sst_core = om.step(x, gv_w[Tw - 2])
@@ -103,7 +131,7 @@ def test_ocean_with_ohtc():
     s0, s1 = om.ol.sections["ohtc"]
     assert s1 > s0
     spw = om.steps_per_week
-    gv_w = weekly_average(gv, spw)
+    gv_w = weekly_ocean_inputs(gv, spw, L)
     x = om.synchronize(gv_w[:-1])
     x, out = om.step(x, gv_w[-1])
     out = np.asarray(out)
