@@ -78,7 +78,8 @@ def bench_dry_core(cfg_dtype="float32", grid_compute="float32",
     return best, best_ens
 
 
-def bench_hybrid_step(n_steps=16, reference_scale=True):
+def bench_hybrid_step(n_steps=16, reference_scale=True,
+                      grid_compute="float32"):
     """Full hybrid step at reference reservoir scale, single trajectory."""
     import jax
     import jax.numpy as jnp
@@ -92,7 +93,7 @@ def bench_hybrid_step(n_steps=16, reference_scale=True):
     from speedyml.domain.decomposition import scatter_outputs
     from speedyml.core.calendar import ModelDate
 
-    cfg = ModelConfig(dtype="float32")
+    cfg = ModelConfig(dtype="float32", grid_compute=grid_compute)
     sp = Speedy(cfg)
     sp.initialize(year=1982, month=1)
     sp.run_days(2)                       # non-trivial state
@@ -164,6 +165,15 @@ def main():
     out = {}
     hybrid_gps, step_s = bench_hybrid_step()
     out["hybrid_ms_per_step"] = round(step_s * 1e3, 2)
+    # bf16 grid-compute fast path for the SPEEDY window (spectral state
+    # stays f32); tracked value = best of the two modes
+    hyb16, step16 = bench_hybrid_step(grid_compute="bfloat16")
+    out["hybrid_ms_per_step_bf16"] = round(step16 * 1e3, 2)
+    if hyb16 > hybrid_gps:
+        hybrid_gps = hyb16
+        out["hybrid_mode"] = "bfloat16"
+    else:
+        out["hybrid_mode"] = "float32"
 
     dry_f32, ens32 = bench_dry_core(grid_compute="float32")
     dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")

@@ -145,13 +145,16 @@ def phase_train(args):
 
     if args.weights:
         t = time.time()
-        from speedyml.io.weights import save_model
-        os.makedirs(os.path.dirname(args.weights) or ".", exist_ok=True)
-        save_model(args.weights, hm)
-        timings["persist_s"] = time.time() - t
-        log(f"weights persisted -> {args.weights} "
-            f"({os.path.getsize(args.weights)/1e9:.2f} GB, "
-            f"{timings['persist_s']:.0f}s)")
+        try:
+            from speedyml.io.weights import save_model
+            os.makedirs(os.path.dirname(args.weights) or ".", exist_ok=True)
+            save_model(args.weights, hm)
+            timings["persist_s"] = time.time() - t
+            log(f"weights persisted -> {args.weights} "
+                f"({os.path.getsize(args.weights)/1e9:.2f} GB, "
+                f"{timings['persist_s']:.0f}s)")
+        except Exception as e:       # never lose the run to a write failure
+            log(f"WEIGHT PERSISTENCE FAILED ({e!r}); continuing")
 
     # synchronize on the last synclength hours of the training window
     # (mod_reservoir.f90:940-961), then predict the held-out window

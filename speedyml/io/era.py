@@ -186,7 +186,7 @@ def write_tisr_year(path: str, tisr: np.ndarray) -> None:
     """Write an hourly/6-hourly TISR file in the reference's schema
     (toa_incident_solar_radiation_*.nc, speedy_res_interface.f90:368-370)."""
     T, il, ix = tisr.shape
-    f = netcdf_file(path, "w")
+    f = netcdf_file(path, "w", version=2)
     try:
         f.createDimension("Timestep", None)
         f.createDimension("Lat", il)
@@ -205,7 +205,7 @@ def write_era_year(path: str, atmo: np.ndarray, logp: np.ndarray,
     truth in the reference's interchange format; write path mirrors
     mod_io.f90:311-436 variable naming)."""
     T, nv, kx, il, ix = atmo.shape
-    f = netcdf_file(path, "w")
+    f = netcdf_file(path, "w", version=2)
     try:
         f.createDimension("Timestep", None)
         f.createDimension("Sigma_Level", kx)

@@ -33,7 +33,7 @@ class ForecastWriter:
                  with_precip: bool = True, with_sst: bool = False,
                  title: str = "speedyml hybrid forecast"):
         self.path = path
-        f = netcdf_file(path, "w")
+        f = netcdf_file(path, "w", version=2)
         self._f = f
         f.title = title.encode()
         f.createDimension("Timestep", None)       # record dim

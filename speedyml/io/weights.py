@@ -50,7 +50,7 @@ def save_model(path: str, hm) -> None:
     wout = np.asarray(p.wout)
     R, n, deg = a_idx.shape
 
-    f = netcdf_file(path, "w")
+    f = netcdf_file(path, "w", version=2)
     try:
         f.createDimension("region", R)
         f.createDimension("node", n)

@@ -157,10 +157,13 @@ def pad_to_tile(n: int) -> int:
 
 
 def accum_available() -> bool:
-    """Whether the fused Pallas path should be the default. Currently OFF:
-    measured on TPU v5e, XLA's own einsum+two_sum fusion matches the square
-    Pallas kernel (7.5 vs 8.1 ms/chunk at na=5896, R=8, chunk=128), so the
-    fused kernel stays opt-in until the symmetric-triangle variant lands."""
+    """Whether the fused Pallas path should be the default. Decision: OFF.
+    Measured on TPU v5e, XLA's own einsum+two_sum fusion matches the square
+    Pallas kernel (7.5 vs 8.1 ms/chunk at na=5896, R=8, chunk=128), and at
+    reference scale the whole accumulation is ~0.1 s of a ~34 s training
+    block (transfers + the f64 ridge solve dominate), so a faster variant
+    cannot move the training wall time. The kernel stays as an opt-in,
+    equivalence-tested alternative."""
     return False
 
 
