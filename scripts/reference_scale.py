@@ -136,7 +136,8 @@ def phase_train(args):
     log(f"packed: gv {gv_truth.shape}")
 
     t = time.time()
-    hm = train_hybrid(L, rcfg, gv_truth[:n_train], gv_model[:n_train],
+    hm = train_hybrid(L, rcfg, gv_truth[:n_train],
+                      None if args.ml_only else gv_model[:n_train],
                       seed=0, region_block=args.region_block,
                       solver="device", verbose=True)
     timings["train_s"] = time.time() - t
@@ -197,6 +198,7 @@ def phase_train(args):
                "m": args.m, "n": (args.m // L.n_in) * L.n_in,
                "n_aug": L.n_out + (args.m // L.n_in) * L.n_in,
                "regions": int(L.R), "prior": args.prior,
+               "ml_only": bool(args.ml_only),
                "timings_s": {k: round(v, 1) for k, v in timings.items()},
                "peak_rss_gb": round(peak_rss_gb(), 1), "leads": {}}
     steps_chk = sorted({1, 4, 20, 40, 80, n_fc} & set(range(1, n_fc + 1)))
@@ -325,6 +327,9 @@ def main():
     ap.add_argument("--prior", type=float, default=0.0)
     ap.add_argument("--discard", type=int, default=240,
                     help="discard length in hours (reference: 240)")
+    ap.add_argument("--ml-only", action="store_true",
+                    help="train/predict the ML-only configuration "
+                         "(ml_only=.True., mod_reservoir.f90:295-296)")
     ap.add_argument("--region-block", type=int, default=8)
     ap.add_argument("--fc-steps", type=int, default=124)
     ap.add_argument("--weights", default="data/refscale_weights.nc")
