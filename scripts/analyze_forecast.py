@@ -45,6 +45,16 @@ def main():
     pred = read_forecast(args.pred)
     lat = pred.get("Lat")
     lon = pred.get("Lon")
+    # older files wrote INDEX coordinates (0..il-1); substitute the physical
+    # T30 Gaussian latitudes / uniform longitudes so area weights and the
+    # Nino-3.4 box selection are correct
+    if lat is not None and np.array_equal(lat, np.arange(len(lat))):
+        from speedyml.transforms.tables import build_tables
+        il, ix = len(lat), len(lon)
+        lat = np.degrees(np.asarray(
+            build_tables(ntrun=il * 2 // 3 - 2, ix=ix, il=il).radang))
+        lon = np.arange(ix) * 360.0 / ix
+        print("(index coordinates in file; using T30 Gaussian lats)")
     T = pred[VAR3D[0]].shape[0]
     months = _months_for(T, args.dt_hours, args.start_month)
     print(f"forecast: {args.pred}  T={T} steps x {args.dt_hours} h")

@@ -139,17 +139,20 @@ def main():
     hrun = HybridRunner(hm, fc_speedy)
     comp_writers = None
     writer = None
+    coords = dict(sigma=np.asarray(sp.dy.vg.fsg),
+                  lat=np.degrees(np.asarray(sp.dy.tables.radang)),
+                  lon=np.arange(cfg.ix) * 360.0 / cfg.ix)
     if args.components:
         from speedyml.io.output import ForecastWriter
         comp_writers = (
             ForecastWriter(args.components + "_ml.nc", cfg.kx, cfg.il,
-                           cfg.ix, with_precip=False),
+                           cfg.ix, with_precip=False, **coords),
             ForecastWriter(args.components + "_p.nc", cfg.kx, cfg.il,
-                           cfg.ix, with_precip=False))
+                           cfg.ix, with_precip=False, **coords))
     if args.out:
         from speedyml.io.output import ForecastWriter
         writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix,
-                                with_sst=True)
+                                with_sst=True, **coords)
     out = hrun.run(x, atmo0, logp0, pr0, runner.date, args.fc_steps,
                    ocean=ocean, x_ocean=x_ocean, writer=writer,
                    component_writers=comp_writers)

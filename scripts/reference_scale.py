@@ -284,7 +284,10 @@ def phase_coupled(args):
 
     fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
     hrun = HybridRunner(hm, fc_speedy)
-    writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix, with_sst=True)
+    writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix,
+                            sigma=np.asarray(sp.dy.vg.fsg), lat=radang_deg,
+                            lon=np.arange(cfg.ix) * 360.0 / cfg.ix,
+                            with_sst=True)
     t = time.time()
     out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
                    ocean=ocean, x_ocean=x_ocean, writer=writer,
