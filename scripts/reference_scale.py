@@ -136,10 +136,12 @@ def phase_train(args):
     log(f"packed: gv {gv_truth.shape}")
 
     t = time.time()
+    ckdir = (args.cache + (".ml_ckpt" if args.ml_only else ".train_ckpt")
+             if args.train_ckpt else None)
     hm = train_hybrid(L, rcfg, gv_truth[:n_train],
                       None if args.ml_only else gv_model[:n_train],
                       seed=0, region_block=args.region_block,
-                      solver="device", verbose=True)
+                      solver="device", verbose=True, checkpoint_dir=ckdir)
     timings["train_s"] = time.time() - t
     log(f"TRAIN done in {timings['train_s']:.0f}s: wout {hm.params.wout.shape}"
         f" ({hm.params.wout.nbytes/1e9:.2f} GB), peak rss {peak_rss_gb():.1f} GB")
@@ -333,6 +335,10 @@ def main():
     ap.add_argument("--ml-only", action="store_true",
                     help="train/predict the ML-only configuration "
                          "(ml_only=.True., mod_reservoir.f90:295-296)")
+    ap.add_argument("--train-ckpt", action="store_true", default=True,
+                    help="persist each trained region block; rerun resumes")
+    ap.add_argument("--no-train-ckpt", dest="train_ckpt",
+                    action="store_false")
     ap.add_argument("--region-block", type=int, default=8)
     ap.add_argument("--fc-steps", type=int, default=124)
     ap.add_argument("--weights", default="data/refscale_weights.nc")

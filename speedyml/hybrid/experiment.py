@@ -261,7 +261,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                  gv_truth: np.ndarray, gv_model: Optional[np.ndarray],
                  seed: int = 0, region_block: int = 0,
                  chunk: int = 64, solver: str = "host",
-                 verbose: bool = False) -> HybridModel:
+                 verbose: bool = False,
+                 checkpoint_dir: Optional[str] = None) -> HybridModel:
     """Train all regions' readouts by blocked normal-equation accumulation.
 
     gv_truth: (T, gv_len) transformed truth series.
@@ -274,6 +275,10 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     "device" (TPU-emulated f64 Cholesky; needs jax_enable_x64 — the right
     choice on remote-tunnel backends where the device->host pull is
     bandwidth-prohibitive at reference scale).
+    checkpoint_dir: if set, each completed region block is persisted there
+    and already-persisted blocks are skipped on re-entry — a multi-hour
+    reference-scale run survives tunnel hangs/OOM kills. Generation is
+    deterministic in (seed, block), so a resumed run is bitwise-identical.
     """
     R = layout.R
     ml_only = gv_model is None
@@ -303,8 +308,22 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     key = jax.random.PRNGKey(seed)
     import time as _time
     t_start = _time.time()
+    if checkpoint_dir:
+        import os
+        os.makedirs(checkpoint_dir, exist_ok=True)
     for bi, blk in enumerate(blocks):
         Rb = len(blk)
+        if checkpoint_dir:
+            ck = f"{checkpoint_dir}/block_{bi:04d}.npz"
+            import os
+            if os.path.exists(ck):
+                z = np.load(ck)
+                wout_parts.append(z["wout"])
+                idx_parts.append(z["a_idx"])
+                val_parts.append(z["a_val"])
+                win_parts.append(z["win"])
+                q_nodes = int(z["q"])
+                continue
         n_model = 0 if ml_only else layout.n_out
         params = generate_esn(seed + 17 * bi, Rb, layout.n_in, layout.n_out,
                               n_model, m_target=rcfg.nodes_per_input,
@@ -344,6 +363,13 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         idx_parts.append(np.asarray(params.a_idx))
         val_parts.append(np.asarray(params.a_val))
         win_parts.append(np.asarray(params.win))
+        if checkpoint_dir:
+            import os
+            tmp = ck + ".tmp"
+            with open(tmp, "wb") as fh:     # atomic: write-then-rename
+                np.savez(fh, wout=wout_parts[-1], a_idx=idx_parts[-1],
+                         a_val=val_parts[-1], win=win_parts[-1], q=q_nodes)
+            os.replace(tmp, ck)
         if verbose and (bi % 8 == 0 or bi == len(blocks) - 1):
             el = _time.time() - t_start
             print(f"  train block {bi+1}/{len(blocks)} "
