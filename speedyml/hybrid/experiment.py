@@ -305,7 +305,7 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
 
     wout_parts, idx_parts, val_parts, win_parts = [], [], [], []
     q_nodes = None
-    key = jax.random.PRNGKey(seed)
+    key0 = jax.random.PRNGKey(seed)
     import time as _time
     t_start = _time.time()
     if checkpoint_dir:
@@ -338,7 +338,9 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             m_all = gv_model[:, layout.target_index[blk]]
             m_blk = (m_all - out_mean[blk]) / out_std[blk]
 
-        kd, kt, key = jax.random.split(key, 3)
+        # noise keys are a pure function of (seed, block) so a checkpoint
+        # resume that skips completed blocks stays bitwise-identical
+        kd, kt = jax.random.split(jax.random.fold_in(key0, bi))
         x = jnp.zeros((Rb, params.n), jnp.float32)
         x = drive_discard(params, x, u_blk[:discard],
                           noise_mag=rcfg.noise_std, rng_key=kd)

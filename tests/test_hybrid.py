@@ -275,3 +275,30 @@ def test_component_split_consistency(tmp_path):
     np.testing.assert_allclose(
         dml["Temperature"][0] + dp["Temperature"][0],
         np.asarray(a2)[0], atol=1e-3)
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """Block-checkpointed training resumes bitwise-identically: a run that
+    wrote its blocks, re-entered, produces the same wout and never recomputes
+    (the resume path is how reference-scale runs survive tunnel hangs)."""
+    L = _small_layout()
+    rcfg = _small_rcfg()
+    T = 120
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=77)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    ck = str(tmp_path / "ck")
+    rb = L.R // 2
+    hm1 = train_hybrid(L, rcfg, gv, None, seed=3, region_block=rb,
+                       checkpoint_dir=ck)
+    import os
+    files = sorted(os.listdir(ck))
+    assert files == ["block_0000.npz", "block_0001.npz"]
+    # delete the SECOND block only: first is loaded, second recomputed
+    os.remove(os.path.join(ck, "block_0001.npz"))
+    hm2 = train_hybrid(L, rcfg, gv, None, seed=3, region_block=rb,
+                       checkpoint_dir=ck)
+    np.testing.assert_array_equal(np.asarray(hm1.params.wout),
+                                  np.asarray(hm2.params.wout))
+    np.testing.assert_array_equal(np.asarray(hm1.params.a_val),
+                                  np.asarray(hm2.params.a_val))
