@@ -268,7 +268,10 @@ def phase_coupled(args):
                             discardlength=rcfg.discardlength,
                             timestep_slab=args.slab_hours)
     ocean = train_ocean(L, orcfg, gv_truth[:n_train], seed=100,
-                        region_block=576)
+                        region_block=args.ocean_block,
+                        solver="device" if not args.cpu else "host",
+                        checkpoint_dir=(args.cache + ".ocean_ckpt"
+                                        if args.train_ckpt else None))
     spw = ocean.steps_per_week
     gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
     x_ocean = ocean.synchronize(gv_w)
@@ -347,6 +350,8 @@ def main():
                     help="slab-ocean reservoir target size (coupled phase)")
     ap.add_argument("--slab-hours", type=int, default=168,
                     help="ocean reservoir cadence in hours (reference: 168)")
+    ap.add_argument("--ocean-block", type=int, default=64,
+                    help="regions per ocean training block")
     ap.add_argument("--out", default="data/coupled_run.nc",
                     help="coupled-phase forecast NetCDF output")
     ap.add_argument("--cpu", action="store_true",

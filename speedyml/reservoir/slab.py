@@ -238,9 +238,14 @@ class OceanModel:
 def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
                 gv_truth: np.ndarray, seed: int = 100,
                 bottom_level: Optional[int] = None,
-                region_block: int = 0) -> OceanModel:
+                region_block: int = 0, solver: str = "host",
+                checkpoint_dir: Optional[str] = None) -> OceanModel:
     """Train the slab-ocean reservoirs from the 6-hourly truth supervector
-    (train_slab_ocean_model, mod_slab_ocean_reservoir.f90:172-269)."""
+    (train_slab_ocean_model, mod_slab_ocean_reservoir.f90:172-269).
+
+    solver/checkpoint_dir: as in hybrid.experiment.train_hybrid — on tunnel
+    backends the (Rb, n, n) normal equations must be solved on device, and
+    per-block persistence makes long runs resumable."""
     ol = build_ocean_layout(L, bottom_level)
     spw = rcfg.timestep_slab // rcfg.timestep
     gv_w = weekly_ocean_inputs(gv_truth, spw, L)
@@ -278,18 +283,32 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
     blocks = [np.arange(R)] if region_block in (0, R) else [
         np.arange(i, min(i + region_block, R))
         for i in range(0, R, region_block)]
-    key = jax.random.PRNGKey(seed)
+    key0 = jax.random.PRNGKey(seed)
     idx_p, val_p, win_p, wout_p = [], [], [], []
     q_nodes = None
     discard = max(1, min(Tw // 4, 8))
+    if checkpoint_dir:
+        import os
+        os.makedirs(checkpoint_dir, exist_ok=True)
     for bi, blk in enumerate(blocks):
+        if checkpoint_dir:
+            import os
+            ck = f"{checkpoint_dir}/ocean_block_{bi:04d}.npz"
+            if os.path.exists(ck):
+                z = np.load(ck)
+                idx_p.append(z["a_idx"])
+                val_p.append(z["a_val"])
+                win_p.append(z["win"])
+                wout_p.append(z["wout"])
+                q_nodes = int(z["q"])
+                continue
         params = generate_esn(seed + 31 * bi, len(blk), ol.n_in, ol.n_out,
                               n_model=0, m_target=rcfg.slab_nodes,
                               deg=rcfg.degree, sigma=rcfg.slab_sigma,
                               leakage=rcfg.slab_leakage,
                               radii=np.full(len(blk), 0.9))
         q_nodes = params.q
-        kd, kt, key = jax.random.split(key, 3)
+        kd, kt = jax.random.split(jax.random.fold_in(key0, bi))
         x = jnp.zeros((len(blk), params.n), jnp.float32)
         x = drive_discard(params, x, u_all[:discard, blk],
                           noise_mag=rcfg.slab_noise_std, rng_key=kd)
@@ -298,11 +317,22 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
             params, acc, u_all[discard:-1, blk], y_all[discard + 1:, blk],
             noise_mag=rcfg.slab_noise_std, rng_key=kt,
             chunk=min(16, max(1, (Tw - discard - 1))))
-        wout = ridge_solve(acc, 0, rcfg.slab_beta_res, 1.0)
+        if solver == "device":
+            from .training import ridge_solve_device
+            wout = ridge_solve_device(acc, 0, rcfg.slab_beta_res, 1.0)
+        else:
+            wout = ridge_solve(acc, 0, rcfg.slab_beta_res, 1.0)
         idx_p.append(np.asarray(params.a_idx))
         val_p.append(np.asarray(params.a_val))
         win_p.append(np.asarray(params.win))
         wout_p.append(np.asarray(wout, np.float32))
+        if checkpoint_dir:
+            import os
+            tmp = ck + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, a_idx=idx_p[-1], a_val=val_p[-1],
+                         win=win_p[-1], wout=wout_p[-1], q=q_nodes)
+            os.replace(tmp, ck)
 
     n_nodes = win_p[0].shape[1]
     params_all = EsnParams(
