@@ -159,6 +159,57 @@ def phase_train(args):
         except Exception as e:       # never lose the run to a write failure
             log(f"WEIGHT PERSISTENCE FAILED ({e!r}); continuing")
 
+    if not args.predict_inline:
+        # prediction runs in a FRESH process (phase `predict`): after 144
+        # training blocks the device allocator is fragmented enough that the
+        # window-forecast compile OOMs alongside the 4 GB of parameters
+        log("training phase complete (run phase `predict` next)")
+        print("TRAIN PHASE OK")
+        return
+    _sync_predict_score(args, hm, sp, truth, gv_truth, n_train, timings,
+                        rcfg)
+    print("TRAIN PHASE OK")
+
+
+def phase_predict(args):
+    """Sync + held-out prediction + skill from PERSISTED weights, in a
+    process that never ran training (fresh device allocator)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from speedyml.core.config import ModelConfig
+    from speedyml.hybrid.experiment import TruthSeries, transform_and_pack
+    from speedyml.io.weights import load_model
+    from speedyml.model import Speedy
+
+    z = np.load(args.cache)
+    truth = TruthSeries(atmo=z["atmo"], logp=z["logp"], precip=z["precip"],
+                        sst=z["sst"], tisr=z["tisr"], hours=z["hours"])
+    n_train = truth.atmo.shape[0] - args.holdout
+    cfg = ModelConfig(dtype="float32")
+    sp = Speedy(cfg)
+    t = time.time()
+    hm = load_model(args.weights,
+                    radang_deg=np.degrees(np.asarray(sp.dy.tables.radang)))
+    timings = {"load_s": time.time() - t}
+    log(f"weights loaded: wout {hm.params.wout.shape} "
+        f"({timings['load_s']:.0f}s)")
+    gv_truth = transform_and_pack(hm.layout, truth.atmo, truth.logp,
+                                  truth.precip, truth.sst, truth.tisr,
+                                  hm.rcfg.precip_epsilon)
+    _sync_predict_score(args, hm, sp, truth, gv_truth, n_train, timings,
+                        hm.rcfg)
+    print("PREDICT PHASE OK")
+
+
+def _sync_predict_score(args, hm, sp, truth, gv_truth, n_train, timings,
+                        rcfg):
+    import jax.numpy as jnp
+    from speedyml.core.calendar import ModelDate, datetime_from_hours
+    from speedyml.hybrid.experiment import HybridRunner
+    from speedyml.hybrid.forecast import SpeedyForecaster
+
+    L = hm.layout
     # synchronize on the last synclength hours of the training window
     # (mod_reservoir.f90:940-961), then predict the held-out window
     n_sync = rcfg.synclength // rcfg.timestep
@@ -224,7 +275,6 @@ def phase_train(args):
         json.dump(results, f, indent=1)
     log(f"results -> {args.results}; hybrid beats persistence on "
         f"{wins}/4 variables at {n_fc * rcfg.timestep}h")
-    print("TRAIN PHASE OK")
 
 
 def phase_coupled(args):
@@ -322,7 +372,7 @@ def phase_coupled(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["data", "train", "coupled"])
+    ap.add_argument("phase", choices=["data", "train", "predict", "coupled"])
     ap.add_argument("--cache", default="data/refscale.npz")
     ap.add_argument("--samples", type=int, default=2364,
                     help="total truth samples (train + holdout)")
@@ -338,6 +388,10 @@ def main():
     ap.add_argument("--ml-only", action="store_true",
                     help="train/predict the ML-only configuration "
                          "(ml_only=.True., mod_reservoir.f90:295-296)")
+    ap.add_argument("--predict-inline", action="store_true",
+                    help="run the prediction inside the training process "
+                         "(small scales only; at reference scale the "
+                         "fragmented allocator OOMs)")
     ap.add_argument("--train-ckpt", action="store_true", default=True,
                     help="persist each trained region block; rerun resumes")
     ap.add_argument("--no-train-ckpt", dest="train_ckpt",
@@ -364,6 +418,8 @@ def main():
         phase_data(args)
     elif args.phase == "train":
         phase_train(args)
+    elif args.phase == "predict":
+        phase_predict(args)
     else:
         phase_coupled(args)
 

@@ -152,6 +152,9 @@ class HybridModel:
     stz: Standardizer
     rcfg: ReservoirConfig
     ml_only: bool = False
+    # host copies of the big parameter arrays (set by train_hybrid) so
+    # persistence never pulls them back over a slow device link
+    host_np: Optional[dict] = None
 
     # jit caches
     _step_fn: Optional[callable] = None
@@ -378,15 +381,19 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                   f"({el:.0f}s, {el/(bi+1):.1f}s/block)", flush=True)
 
     n_nodes = win_parts[0].shape[1]
+    host = dict(a_idx=np.concatenate(idx_parts),
+                a_val=np.concatenate(val_parts),
+                win=np.concatenate(win_parts),
+                wout=np.concatenate(wout_parts))
     params_all = EsnParams(
-        a_idx=jnp.asarray(np.concatenate(idx_parts)),
-        a_val=jnp.asarray(np.concatenate(val_parts)),
-        win=jnp.asarray(np.concatenate(win_parts)),
-        wout=jnp.asarray(np.concatenate(wout_parts)),
+        a_idx=jnp.asarray(host["a_idx"]),
+        a_val=jnp.asarray(host["a_val"]),
+        win=jnp.asarray(host["win"]),
+        wout=jnp.asarray(host["wout"]),
         node_map=jnp.asarray(np.arange(n_nodes) // q_nodes, np.int32),
         leakage=rcfg.leakage)
     return HybridModel(layout=layout, params=params_all, stz=stz, rcfg=rcfg,
-                       ml_only=ml_only)
+                       ml_only=ml_only, host_np=host)
 
 
 # ----------------------------------------------------------------------

@@ -44,15 +44,22 @@ def save_model(path: str, hm) -> None:
 
     p = hm.params
     stz = hm.stz
-    a_idx = np.asarray(p.a_idx)
-    a_val = np.asarray(p.a_val)
-    win = np.asarray(p.win)
-    wout = np.asarray(p.wout)
+    host = getattr(hm, "host_np", None) or {}
+    a_idx = host.get("a_idx", None)
+    a_idx = np.asarray(p.a_idx) if a_idx is None else a_idx
+    a_val = np.asarray(host.get("a_val", p.a_val))
+    win = np.asarray(host.get("win", p.win))
+    wout = np.asarray(host.get("wout", p.wout))
     R, n, deg = a_idx.shape
 
     f = netcdf_file(path, "w", version=2)
     try:
-        f.createDimension("region", R)
+        # region is the UNLIMITED record dimension: scipy's netcdf packs the
+        # per-variable vsize field as int32 (spec: 32-bit in CDF-1 and
+        # CDF-2), so a fixed-shape wout (1152, 136, 5896) f32 = 3.7 GB
+        # overflows it; as a record variable only the per-region record size
+        # (3.2 MB) is packed and the total may exceed 4 GB
+        f.createDimension("region", None)
         f.createDimension("node", n)
         f.createDimension("deg", deg)
         f.createDimension("n_out", wout.shape[1])
