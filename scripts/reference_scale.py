@@ -173,10 +173,9 @@ def phase_train(args):
 
 def phase_predict(args):
     """Sync + held-out prediction + skill from PERSISTED weights, in a
-    process that never ran training (fresh device allocator)."""
-    import jax
-    jax.config.update("jax_enable_x64", True)
-
+    process that never ran training (fresh device allocator, plain f32 —
+    x64 doubles several jit-embedded tables and has no role after the
+    solve)."""
     from speedyml.core.config import ModelConfig
     from speedyml.hybrid.experiment import TruthSeries, transform_and_pack
     from speedyml.io.weights import load_model
@@ -230,7 +229,7 @@ def _sync_predict_score(args, hm, sp, truth, gv_truth, n_train, timings,
     hrun = HybridRunner(hm, fc_speedy)
     n_fc = min(args.fc_steps, args.holdout)
     t = time.time()
-    out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc)
+    out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc, verbose=10)
     timings["predict_s"] = time.time() - t
     log(f"prediction: {n_fc} steps in {timings['predict_s']:.0f}s, "
         f"aborted={out['aborted']}")
@@ -347,7 +346,7 @@ def phase_coupled(args):
     out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
                    ocean=ocean, x_ocean=x_ocean, writer=writer,
                    checkpoint_path=args.out + ".ckpt.npz",
-                   checkpoint_every=112)
+                   checkpoint_every=112, verbose=28)
     writer.close()
     dt = time.time() - t
     a = out["atmo"]

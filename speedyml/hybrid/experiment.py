@@ -437,7 +437,7 @@ class HybridRunner:
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
             sst_fn=None, ocean=None, x_ocean=None, sst0=None,
             writer=None, component_writers=None,
-            checkpoint_path=None, checkpoint_every=0):
+            checkpoint_path=None, checkpoint_every=0, verbose=0):
         """Run n_steps hybrid steps from transformed global fields.
 
         sst_fn(date) -> (il, ix) SST override; default climatology.
@@ -533,6 +533,10 @@ class HybridRunner:
                 extra = {"sst_cur": sst_cur} if sst_cur is not None else None
                 save_prediction(checkpoint_path, x, atmo, logp, precip_t,
                                 date, step=step_i + 1, extra=extra)
+            if verbose and (step_i + 1) % verbose == 0:
+                import time as _t
+                print(f"  predict step {step_i + 1}/{n_steps} "
+                      f"[{_t.strftime('%H:%M:%S')}]", flush=True)
         out = {k: (np.stack(v) if v and v[0] is not None else None)
                for k, v in traj.items()}
         out["x"] = x
