@@ -280,9 +280,16 @@ def phase_coupled(args):
     """Config 5: multi-year coupled run — trained atmosphere reservoirs +
     slab-ocean reservoir + SPEEDY, SST fed back to both the reservoirs and
     SPEEDY's boundary (cpl_sea.f90:38-44), with incremental NetCDF output
-    and periodic exact-resume checkpoints."""
+    and periodic exact-resume checkpoints.
+
+    Two-pass protocol on TPU: `--ocean-train-only` first (x64 process: the
+    ocean ridge solves run in device f64 and block-checkpoint to disk),
+    then the plain run (f32 process: ocean blocks load from the checkpoint
+    and the device solver is never invoked — x64 alongside the window
+    forecast OOMs the 16 GB chip)."""
     import jax
-    jax.config.update("jax_enable_x64", True)
+    if args.ocean_train_only:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from speedyml.core.calendar import ModelDate, datetime_from_hours
@@ -302,11 +309,19 @@ def phase_coupled(args):
     cfg = ModelConfig(dtype="float32")
     sp = Speedy(cfg)
     radang_deg = np.degrees(np.asarray(sp.dy.tables.radang))
-    hm = load_model(args.weights, radang_deg=radang_deg)
-    L = hm.layout
-    log(f"weights loaded: wout {hm.params.wout.shape}")
-
-    rcfg = hm.rcfg
+    if args.ocean_train_only:
+        # the 4 GB atmosphere weights have no role in ocean training and
+        # would crowd the ocean normal equations out of HBM
+        from speedyml.core.config import ReservoirConfig as _RC
+        from speedyml.domain.decomposition import build_layout
+        hm = None
+        L = build_layout(radang_deg=radang_deg)
+        rcfg = _RC()
+    else:
+        hm = load_model(args.weights, radang_deg=radang_deg)
+        L = hm.layout
+        rcfg = hm.rcfg
+        log(f"weights loaded: wout {hm.params.wout.shape}")
     gv_truth = transform_and_pack(L, truth.atmo, truth.logp, truth.precip,
                                   truth.sst, truth.tisr, rcfg.precip_epsilon)
 
@@ -321,10 +336,15 @@ def phase_coupled(args):
                         solver="device" if not args.cpu else "host",
                         checkpoint_dir=(args.cache + ".ocean_ckpt"
                                         if args.train_ckpt else None))
+    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active")
+    if args.ocean_train_only:
+        log("ocean training blocks persisted; rerun without "
+            "--ocean-train-only for the coupled run")
+        print("OCEAN TRAIN OK")
+        return
     spw = ocean.steps_per_week
     gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
     x_ocean = ocean.synchronize(gv_w)
-    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active")
 
     n_sync = rcfg.synclength // rcfg.timestep
     x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
@@ -343,10 +363,11 @@ def phase_coupled(args):
                             lon=np.arange(cfg.ix) * 360.0 / cfg.ix,
                             with_sst=True)
     t = time.time()
+    deadline = time.time() + args.max_wall if args.max_wall else None
     out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
                    ocean=ocean, x_ocean=x_ocean, writer=writer,
                    checkpoint_path=args.out + ".ckpt.npz",
-                   checkpoint_every=112, verbose=28)
+                   checkpoint_every=112, verbose=28, deadline=deadline)
     writer.close()
     dt = time.time() - t
     a = out["atmo"]
@@ -405,6 +426,12 @@ def main():
                     help="ocean reservoir cadence in hours (reference: 168)")
     ap.add_argument("--ocean-block", type=int, default=64,
                     help="regions per ocean training block")
+    ap.add_argument("--ocean-train-only", action="store_true",
+                    help="coupled phase: train+checkpoint the ocean "
+                         "reservoir (x64), then exit")
+    ap.add_argument("--max-wall", type=int, default=0,
+                    help="coupled phase: stop the step loop cleanly after "
+                         "this many seconds (0 = no limit)")
     ap.add_argument("--out", default="data/coupled_run.nc",
                     help="coupled-phase forecast NetCDF output")
     ap.add_argument("--cpu", action="store_true",

@@ -437,7 +437,8 @@ class HybridRunner:
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
             sst_fn=None, ocean=None, x_ocean=None, sst0=None,
             writer=None, component_writers=None,
-            checkpoint_path=None, checkpoint_every=0, verbose=0):
+            checkpoint_path=None, checkpoint_every=0, verbose=0,
+            deadline=None):
         """Run n_steps hybrid steps from transformed global fields.
 
         sst_fn(date) -> (il, ix) SST override; default climatology.
@@ -537,6 +538,10 @@ class HybridRunner:
                 import time as _t
                 print(f"  predict step {step_i + 1}/{n_steps} "
                       f"[{_t.strftime('%H:%M:%S')}]", flush=True)
+            if deadline is not None:
+                import time as _t
+                if _t.time() > deadline:   # budgeted run: stop cleanly
+                    break
         out = {k: (np.stack(v) if v and v[0] is not None else None)
                for k, v in traj.items()}
         out["x"] = x
