@@ -183,13 +183,17 @@ def main():
 
     # baseline: only compare like-for-like (the r1 baseline tracked the dry
     # core; the hybrid metric's own baseline appears under "hybrid_value")
-    baseline = None
+    baseline = dry_base = None
     try:
         with open("BENCH_BASELINE.json") as f:
-            baseline = json.load(f).get("hybrid_value")
+            b = json.load(f)
+            baseline = b.get("hybrid_value")
+            dry_base = b.get("value")       # r1 dry-core figure
     except Exception:
         pass
     vs = hybrid_gps / baseline if baseline else 1.0
+    if dry_base:
+        out["dry_core_vs_r1"] = round(max(dry_f32, dry_bf16) / dry_base, 3)
 
     print(json.dumps({
         "metric": "t30l8_hybrid_step_gridpoints_per_s_per_chip",
