@@ -107,13 +107,19 @@ def bench_hybrid_step(n_steps=16, reference_scale=True,
     deg = 6
     rng = np.random.default_rng(0)
     na = n + n_out
+    # production topology: circulant support ("ring with jumps") — the TPU
+    # fast path the framework generates by default (reservoir/generate.py)
+    from speedyml.reservoir.generate import ring_shifts
+    shifts = ring_shifts(n, deg)
+    a_idx = ((np.arange(n, dtype=np.int64)[None, :, None] + shifts) % n)
     params = EsnParams(
-        a_idx=jnp.asarray(rng.integers(0, n, size=(R, n, deg)), jnp.int32),
+        a_idx=jnp.asarray(np.broadcast_to(a_idx, (R, n, deg)), jnp.int32),
         a_val=jnp.asarray(rng.normal(size=(R, n, deg)) * 0.05, jnp.float32),
         win=jnp.asarray(rng.uniform(-0.5, 0.5, size=(R, n)), jnp.float32),
         wout=jnp.asarray(rng.normal(size=(R, n_out, na)) * 1e-3, jnp.float32),
         node_map=jnp.asarray(np.arange(n) // (n // n_in), jnp.int32),
-        leakage=1.0)
+        leakage=1.0,
+        a_shift=jnp.asarray(shifts))
 
     fc = SpeedyForecaster(sp, hours=6, physics=True)
     date = sp.date

@@ -308,6 +308,7 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
 
     wout_parts, idx_parts, val_parts, win_parts = [], [], [], []
     q_nodes = None
+    shift_parts = []    # per-block circulant shifts (None entry = generic)
     key0 = jax.random.PRNGKey(seed)
     import time as _time
     t_start = _time.time()
@@ -326,6 +327,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                 val_parts.append(z["a_val"])
                 win_parts.append(z["win"])
                 q_nodes = int(z["q"])
+                shift_parts.append(z["a_shift"] if "a_shift" in z.files
+                                   else None)
                 continue
         n_model = 0 if ml_only else layout.n_out
         params = generate_esn(seed + 17 * bi, Rb, layout.n_in, layout.n_out,
@@ -368,12 +371,17 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         idx_parts.append(np.asarray(params.a_idx))
         val_parts.append(np.asarray(params.a_val))
         win_parts.append(np.asarray(params.win))
+        shift_parts.append(None if params.a_shift is None
+                           else np.asarray(params.a_shift))
         if checkpoint_dir:
             import os
             tmp = ck + ".tmp"
+            extra = ({} if shift_parts[-1] is None
+                     else dict(a_shift=shift_parts[-1]))
             with open(tmp, "wb") as fh:     # atomic: write-then-rename
                 np.savez(fh, wout=wout_parts[-1], a_idx=idx_parts[-1],
-                         a_val=val_parts[-1], win=win_parts[-1], q=q_nodes)
+                         a_val=val_parts[-1], win=win_parts[-1], q=q_nodes,
+                         **extra)
             os.replace(tmp, ck)
         if verbose and (bi % 8 == 0 or bi == len(blocks) - 1):
             el = _time.time() - t_start
@@ -381,6 +389,11 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                   f"({el:.0f}s, {el/(bi+1):.1f}s/block)", flush=True)
 
     n_nodes = win_parts[0].shape[1]
+    # all blocks share the deterministic (n, deg) shifts by construction;
+    # any block without them (legacy checkpoint) drops the fast path
+    shifts = shift_parts[0] if all(
+        s is not None and np.array_equal(s, shift_parts[0])
+        for s in shift_parts) else None
     host = dict(a_idx=np.concatenate(idx_parts),
                 a_val=np.concatenate(val_parts),
                 win=np.concatenate(win_parts),
@@ -391,7 +404,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         win=jnp.asarray(host["win"]),
         wout=jnp.asarray(host["wout"]),
         node_map=jnp.asarray(np.arange(n_nodes) // q_nodes, np.int32),
-        leakage=rcfg.leakage)
+        leakage=rcfg.leakage,
+        a_shift=None if shifts is None else jnp.asarray(shifts))
     return HybridModel(layout=layout, params=params_all, stz=stz, rcfg=rcfg,
                        ml_only=ml_only, host_np=host)
 

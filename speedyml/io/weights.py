@@ -110,13 +110,17 @@ def load_model(path: str, radang_deg: Optional[np.ndarray] = None):
         g = lambda name: _native(f.variables[name][:])
         win = g("win")
         q = int(meta["q"])
+        from ..reservoir.generate import shifts_from_ell
+        a_idx = g("a_idx")
+        shifts = shifts_from_ell(a_idx)     # recover the circulant fast path
         params = EsnParams(
-            a_idx=jnp.asarray(g("a_idx")),
+            a_idx=jnp.asarray(a_idx),
             a_val=jnp.asarray(g("a_val"), jnp.float32),
             win=jnp.asarray(win, jnp.float32),
             wout=jnp.asarray(g("wout"), jnp.float32),
             node_map=jnp.asarray(np.arange(win.shape[1]) // q, np.int32),
-            leakage=float(meta["leakage"]))
+            leakage=float(meta["leakage"]),
+            a_shift=None if shifts is None else jnp.asarray(shifts))
         stz = Standardizer(
             in_mean=jnp.asarray(g("in_mean")), in_std=jnp.asarray(g("in_std")),
             out_mean=jnp.asarray(g("out_mean")),
@@ -348,13 +352,17 @@ def import_worker_files(dirpath: str, layout, rcfg, trial_name: str = "trial",
     vals_l = [np.pad(a, ((0, 0), (0, dmax - a.shape[1]))) for a in vals_l]
 
     n = idxs[0].shape[0]
-    params = EsnParams(a_idx=jnp.asarray(np.stack(idxs)),
+    from ..reservoir.generate import shifts_from_ell
+    a_idx_h = np.stack(idxs)
+    shifts = shifts_from_ell(a_idx_h)
+    params = EsnParams(a_idx=jnp.asarray(a_idx_h),
                        a_val=jnp.asarray(np.stack(vals_l), jnp.float32),
                        win=jnp.asarray(np.stack(wins), jnp.float32),
                        wout=jnp.asarray(np.stack(wouts), jnp.float32),
                        node_map=jnp.asarray(
                            np.arange(n) // (n // L.n_in), np.int32),
-                       leakage=rcfg.leakage)
+                       leakage=rcfg.leakage,
+                       a_shift=None if shifts is None else jnp.asarray(shifts))
     stz = _stats_from_reference_order(L, np.stack(means), np.stack(stds))
     return HybridModel(layout=L, params=params, stz=stz, rcfg=rcfg,
                        ml_only=ml_only)

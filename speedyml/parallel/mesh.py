@@ -50,7 +50,9 @@ def shard_params(params: EsnParams, mesh: Mesh) -> EsnParams:
         win=jax.device_put(params.win, ns("dp", "tp")),
         wout=jax.device_put(params.wout, ns("dp", None, "tp")),
         node_map=jax.device_put(params.node_map, ns("tp")),
-        leakage=params.leakage)
+        leakage=params.leakage,
+        a_shift=(None if params.a_shift is None
+                 else jax.device_put(params.a_shift, ns())))
 
 
 def region_sharding(mesh: Mesh) -> NamedSharding:

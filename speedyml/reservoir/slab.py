@@ -335,12 +335,16 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
             os.replace(tmp, ck)
 
     n_nodes = win_p[0].shape[1]
+    from .generate import shifts_from_ell
+    a_idx_h = np.concatenate(idx_p)
+    shifts = shifts_from_ell(a_idx_h)   # circulant fast path when detected
     params_all = EsnParams(
-        a_idx=jnp.asarray(np.concatenate(idx_p)),
+        a_idx=jnp.asarray(a_idx_h),
         a_val=jnp.asarray(np.concatenate(val_p)),
         win=jnp.asarray(np.concatenate(win_p)),
         wout=jnp.asarray(np.concatenate(wout_p)),
         node_map=jnp.asarray(np.arange(n_nodes) // q_nodes, np.int32),
-        leakage=rcfg.slab_leakage)
+        leakage=rcfg.slab_leakage,
+        a_shift=None if shifts is None else jnp.asarray(shifts))
     return OceanModel(ol=ol, params=params_all, stz=stz, active=active,
                       rcfg=rcfg)

@@ -40,6 +40,45 @@ class TestEsnCore:
                                   jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_ring_fast_path_matches_generic(self):
+        """The circulant-shift spmv (a_shift set) must equal the generic
+        ELL gather on the same indices/values — the TPU fast path is a pure
+        execution-strategy change, not a numerics change."""
+        from speedyml.reservoir.generate import make_ring_adjacency
+        rng = np.random.default_rng(7)
+        R, n, deg = 3, 24, 5
+        idx, val, shifts = make_ring_adjacency(rng, R, n, deg)
+        x = rng.normal(size=(R, n))
+        generic = np.asarray(spmv_ell(jnp.asarray(idx), jnp.asarray(val),
+                                      jnp.asarray(x)))
+        fast = np.asarray(spmv_ell(jnp.asarray(idx), jnp.asarray(val),
+                                   jnp.asarray(x), jnp.asarray(shifts)))
+        np.testing.assert_allclose(fast, generic, rtol=1e-6)
+        # and through advance() on full params, under jit
+        p = generate_esn(seed=3, R=R, n_in=4, n_out=2, n_model=0,
+                         m_target=n, deg=deg, topology="ring")
+        assert p.a_shift is not None
+        u = jnp.asarray(rng.normal(size=(R, 4)))
+        x0 = jnp.asarray(rng.normal(size=(R, p.n)))
+        y_fast = np.asarray(jax.jit(advance)(p, x0, u))
+        y_gen = np.asarray(jax.jit(advance)(p._replace(a_shift=None), x0, u))
+        np.testing.assert_allclose(y_fast, y_gen, rtol=1e-6, atol=1e-6)
+
+    def test_shift_detection_roundtrip(self):
+        """shifts_from_ell recovers circulant structure from a persisted ELL
+        index array and rejects random (ER) support."""
+        from speedyml.reservoir.generate import (make_ring_adjacency,
+                                                 make_ell_adjacency,
+                                                 shifts_from_ell, ring_shifts)
+        rng = np.random.default_rng(9)
+        idx, _, shifts = make_ring_adjacency(rng, R=4, n=32, deg=6)
+        got = shifts_from_ell(idx)
+        assert got is not None
+        np.testing.assert_array_equal(np.sort(got), np.sort(shifts))
+        np.testing.assert_array_equal(shifts, ring_shifts(32, 6))
+        idx_er, _ = make_ell_adjacency(rng, R=4, n=32, deg=6)
+        assert shifts_from_ell(idx_er) is None
+
     def test_spectral_radius_power_iteration(self):
         rng = np.random.default_rng(1)
         R, n, deg = 2, 40, 5
