@@ -128,7 +128,23 @@ def readout(params: EsnParams, x, model_vec=None):
         aug = jnp.concatenate([model_vec, xt], axis=-1)
     else:
         aug = xt
-    return jnp.einsum("roa,ra->ro", params.wout, aug)
+    # f32 accumulation regardless of wout storage dtype: wout may be kept
+    # in bfloat16 to halve the dominant HBM stream of the predict step
+    # (3.7 GB/step at reference scale) — see cast_wout
+    return jnp.einsum("roa,ra->ro", params.wout, aug.astype(params.wout.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def cast_wout(params: EsnParams, dtype=jnp.bfloat16) -> EsnParams:
+    """Readout weights in reduced-precision storage (f32 accumulation stays).
+
+    At reference scale wout is 3.7 GB f32 and its HBM stream dominates the
+    predict step once the state update is on the circulant fast path;
+    bfloat16 storage halves that traffic. Readout error is ~wout's rounding
+    (|e| ~ 2^-8 relative per weight, averaging out over the 5896-term dot) —
+    same acceptance rationale as the bf16 grid-compute fast path
+    (BASELINE.md); keep f32 for golden-value comparisons."""
+    return params._replace(wout=params.wout.astype(dtype))
 
 
 def readout_split(params: EsnParams, x, model_vec):
@@ -139,8 +155,12 @@ def readout_split(params: EsnParams, x, model_vec):
     """
     n_model = params.wout.shape[-1] - params.win.shape[-1]
     xt = nonlinear_state(x)
-    v_ml = jnp.einsum("roa,ra->ro", params.wout[..., n_model:], xt)
-    v_p = jnp.einsum("roa,ra->ro", params.wout[..., :n_model], model_vec)
+    wd = params.wout.dtype
+    v_ml = jnp.einsum("roa,ra->ro", params.wout[..., n_model:],
+                      xt.astype(wd), preferred_element_type=jnp.float32)
+    v_p = jnp.einsum("roa,ra->ro", params.wout[..., :n_model],
+                     model_vec.astype(wd),
+                     preferred_element_type=jnp.float32)
     return v_p + v_ml, v_ml, v_p
 
 

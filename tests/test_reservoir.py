@@ -64,6 +64,23 @@ class TestEsnCore:
         y_gen = np.asarray(jax.jit(advance)(p._replace(a_shift=None), x0, u))
         np.testing.assert_allclose(y_fast, y_gen, rtol=1e-6, atol=1e-6)
 
+    def test_bf16_wout_readout_close(self):
+        """bf16-stored wout (f32 accumulation) must track the f32 readout to
+        ~bf16 rounding — the documented fast-path acceptance bound."""
+        from speedyml.reservoir.esn import cast_wout
+        rng = np.random.default_rng(11)
+        p = generate_esn(seed=5, R=2, n_in=6, n_out=4, n_model=4,
+                         m_target=600, deg=6)
+        p = p._replace(wout=jnp.asarray(
+            rng.normal(size=p.wout.shape) * 0.1, jnp.float32))
+        x = jnp.asarray(rng.normal(size=(2, p.n)), jnp.float32)
+        mv = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+        full = np.asarray(readout(p, x, mv))
+        fast = np.asarray(readout(cast_wout(p), x, mv))
+        assert fast.dtype == np.float32
+        scale = np.abs(full).mean()
+        assert np.abs(fast - full).max() < 0.02 * max(scale, 1.0)
+
     def test_shift_detection_roundtrip(self):
         """shifts_from_ell recovers circulant structure from a persisted ELL
         index array and rejects random (ER) support."""
