@@ -389,15 +389,20 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                   f"({el:.0f}s, {el/(bi+1):.1f}s/block)", flush=True)
 
     n_nodes = win_parts[0].shape[1]
-    # all blocks share the deterministic (n, deg) shifts by construction;
-    # any block without them (legacy checkpoint) drops the fast path
-    shifts = shift_parts[0] if all(
-        s is not None and np.array_equal(s, shift_parts[0])
-        for s in shift_parts) else None
     host = dict(a_idx=np.concatenate(idx_parts),
                 a_val=np.concatenate(val_parts),
                 win=np.concatenate(win_parts),
                 wout=np.concatenate(wout_parts))
+    # all blocks share the deterministic (n, deg) shifts by construction;
+    # a resume mixing legacy (shift-less) checkpoint blocks re-detects the
+    # circulant structure from the indices instead of dropping the fast
+    # path for the whole model (matches slab.train_ocean)
+    shifts = shift_parts[0] if all(
+        s is not None and np.array_equal(s, shift_parts[0])
+        for s in shift_parts) else None
+    if shifts is None:
+        from ..reservoir.generate import shifts_from_ell
+        shifts = shifts_from_ell(host["a_idx"])
     params_all = EsnParams(
         a_idx=jnp.asarray(host["a_idx"]),
         a_val=jnp.asarray(host["a_val"]),

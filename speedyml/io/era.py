@@ -15,8 +15,8 @@ This implementation reads NetCDF-3 (classic) files via scipy. The reference
 ecosystem's NetCDF-4/HDF5 files must be converted once with `nccopy -k
 classic` (no netCDF4/HDF5 stack in this image); the variable layout is
 unchanged. Where the reference scatters per-region hyperslabs over MPI-IO
-(one read per rank per region), here whole fields are memory-mapped and the
-per-region slicing happens in the packed-supervector gather
+(one read per rank per region), here whole fields are read into host arrays
+and the per-region slicing happens in the packed-supervector gather
 (domain.decomposition / native gather), which is the TPU-resident analog.
 """
 
@@ -37,8 +37,11 @@ def _native(a: np.ndarray) -> np.ndarray:
 
 
 def _open(path: str) -> netcdf_file:
+    # mmap=False: every field is copied to a float32 array below anyway, so
+    # mapping buys nothing — and scipy's mmap mode warns on close (and is a
+    # use-after-close hazard) whenever lazily-sliced views are still alive
     try:
-        return netcdf_file(path, "r", mmap=True)
+        return netcdf_file(path, "r", mmap=False)
     except Exception as e:  # HDF5-based NetCDF-4 gives a format error here
         raise OSError(
             f"{path}: not a NetCDF-3 classic file ({e}). NetCDF-4/HDF5 "

@@ -35,6 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_N_IN_CACHE: dict = {}   # id(node_map) -> (node_map, n_in); see EsnParams.n_in
+
+
 class EsnParams(NamedTuple):
     """Batched reservoir parameters (leading axis R = regions[x levels]).
 
@@ -59,8 +62,18 @@ class EsnParams(NamedTuple):
 
     @property
     def n_in(self) -> int:
+        # cached host-side: the node_map[-1] fetch is a device->host sync
+        # (expensive on remote-tunnel backends if ever called in a loop).
+        # Cache entries hold a reference to the array, so an id() can never
+        # be reused while its entry is alive (identity-checked below).
+        nm = self.node_map
+        ent = _N_IN_CACHE.get(id(nm))
+        if ent is not None and ent[0] is nm:
+            return ent[1]
         import numpy as np
-        return int(np.asarray(self.node_map[-1])) + 1
+        v = int(np.asarray(nm[-1])) + 1
+        _N_IN_CACHE[id(nm)] = (nm, v)
+        return v
 
     @property
     def q(self) -> int:
@@ -128,11 +141,15 @@ def readout(params: EsnParams, x, model_vec=None):
         aug = jnp.concatenate([model_vec, xt], axis=-1)
     else:
         aug = xt
-    # f32 accumulation regardless of wout storage dtype: wout may be kept
-    # in bfloat16 to halve the dominant HBM stream of the predict step
-    # (3.7 GB/step at reference scale) — see cast_wout
-    return jnp.einsum("roa,ra->ro", params.wout, aug.astype(params.wout.dtype),
-                      preferred_element_type=jnp.float32)
+    # wout may be kept in bfloat16 to halve the dominant HBM stream of the
+    # predict step (3.7 GB/step at reference scale) — see cast_wout. Only
+    # in that case is aug rounded to the storage dtype; accumulation is at
+    # least f32, and an f64 state (x64 processes) keeps an f64 readout.
+    if params.wout.dtype == jnp.bfloat16:
+        aug = aug.astype(jnp.bfloat16)
+    pt = jnp.promote_types(jnp.float32, aug.dtype)
+    return jnp.einsum("roa,ra->ro", params.wout, aug,
+                      preferred_element_type=pt)
 
 
 def cast_wout(params: EsnParams, dtype=jnp.bfloat16) -> EsnParams:
@@ -155,12 +172,14 @@ def readout_split(params: EsnParams, x, model_vec):
     """
     n_model = params.wout.shape[-1] - params.win.shape[-1]
     xt = nonlinear_state(x)
-    wd = params.wout.dtype
+    if params.wout.dtype == jnp.bfloat16:      # storage rounding only when
+        xt = xt.astype(jnp.bfloat16)           # wout itself is bf16 (see
+        model_vec = model_vec.astype(jnp.bfloat16)   # readout())
+    pt = jnp.promote_types(jnp.float32, xt.dtype)
     v_ml = jnp.einsum("roa,ra->ro", params.wout[..., n_model:],
-                      xt.astype(wd), preferred_element_type=jnp.float32)
+                      xt, preferred_element_type=pt)
     v_p = jnp.einsum("roa,ra->ro", params.wout[..., :n_model],
-                     model_vec.astype(wd),
-                     preferred_element_type=jnp.float32)
+                     model_vec, preferred_element_type=pt)
     return v_p + v_ml, v_ml, v_p
 
 

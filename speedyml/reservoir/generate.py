@@ -32,7 +32,11 @@ def ring_shifts(n: int, deg: int) -> np.ndarray:
     while len(shifts) < min(deg, n - 1):
         shifts.add(int(rs.integers(1, n)))
     out = np.sort(np.fromiter(shifts, np.int32, len(shifts)))
-    if len(out) < deg:                     # tiny-n degenerate case: repeat
+    if len(out) < deg:
+        # tiny-n degenerate case (n <= deg, unit tests only): repeating
+        # shifts creates duplicate parallel edges, so the effective degree
+        # is < deg. Both spmv paths stay consistent; the full-degree
+        # topology requires n > deg (reference scale: n ~ 5760 >> deg 6).
         out = np.resize(out, deg)
     return out.astype(np.int32)
 
@@ -60,9 +64,14 @@ def shifts_from_ell(a_idx: np.ndarray):
     R, n, deg = a_idx.shape
     if n == 0:
         return None
-    s = (a_idx[0, 0, :].astype(np.int64)) % n
+    # out-of-range indices behave differently on the generic path (JAX
+    # gather clamps) than mod-n wraparound would, so only well-formed
+    # in-range indices qualify for the fast path
+    if a_idx.min() < 0 or a_idx.max() >= n:
+        return None
+    s = a_idx[0, 0, :].astype(np.int64)
     want = (np.arange(n, dtype=np.int64)[None, :, None] + s[None, None, :]) % n
-    if np.array_equal(a_idx % n, np.broadcast_to(want, a_idx.shape)):
+    if np.array_equal(a_idx, np.broadcast_to(want, a_idx.shape)):
         return s.astype(np.int32)
     return None
 
