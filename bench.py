@@ -3,23 +3,37 @@
 Prints ONE JSON line. Primary metric (BASELINE.json north star): grid-points
 per second per chip of the FULL HYBRID STEP — reference-scale batched ESN
 prediction (1152 regions, n=5760 nodes, wout 1152x136x5896) + the 6-hour
-SPEEDY window with full physics + pack/scatter — the production inner loop
-(mpires.f90:218-804 + mod_reservoir.f90:1418-1489 combined). Secondary
-metrics: the dry-core ensemble figure (previous rounds' tracked number) in
-f32 and bfloat16 grid-compute modes.
+SPEEDY window with full physics + pack/standardize/scatter — the production
+inner loop (mpires.f90:218-804 + mod_reservoir.f90:1418-1489 combined).
+When trained weights exist (data/refscale_weights.nc) the step runs them
+with the real standardizer and a live precip feedback loop; otherwise
+random weights at identical shapes/sparsity time the same program.
 
-vs_baseline compares the same metric against BENCH_BASELINE.json (the
-reference publishes no throughput numbers; BASELINE.md).
+Secondary metrics: ensemble-batched hybrid step (the climate-ensemble
+mode: the whole step vmapped over E members — amortizes the wout HBM
+stream and batches the window), dry-core ensemble figures (f32/bf16), and
+a reference-scale training-block timing (state loop + compensated
+accumulation + on-device f64 ridge solve per 8-region block; x64
+subprocess).
+
+vs_baseline compares against BENCH_BASELINE.json — NOTE: that file holds
+THIS framework's own round-1/2 measurements (the reference publishes no
+throughput numbers, BASELINE.md), so vs_baseline tracks self-improvement.
 
 NOTE (measurement): on remote-tunnel backends (axon) `block_until_ready`
-returns before device execution finishes; the only true synchronization is a
-device->host transfer, which this bench uses (BASELINE.md, round 1).
+returns before device execution finishes; the only true synchronization is
+a device->host transfer, which this bench uses (BASELINE.md, round 1).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+WEIGHTS_PATH = "data/refscale_weights.nc"
 
 
 def _sync(arr):
@@ -78,38 +92,20 @@ def bench_dry_core(cfg_dtype="float32", grid_compute="float32",
     return best, best_ens
 
 
-def bench_hybrid_step(n_steps=16, reference_scale=True,
-                      grid_compute="float32", wout_dtype="float32"):
-    """Full hybrid step at reference reservoir scale, single trajectory."""
-    import jax
+def _random_hm(L, rcfg, m=6000, deg=6):
+    """HybridModel with random reference-scale parameters + identity stats
+    (timing-only: real shapes, sparsity, and production circulant topology)."""
     import jax.numpy as jnp
 
-    from speedyml.core.config import ModelConfig, ReservoirConfig
-    from speedyml.domain.decomposition import build_layout, pack_global
-    from speedyml.hybrid.forecast import SpeedyForecaster
-    from speedyml.hybrid.state_io import GridState
-    from speedyml.model import Speedy
-    from speedyml.reservoir.esn import EsnParams, predict_step
-    from speedyml.domain.decomposition import scatter_outputs
-    from speedyml.core.calendar import ModelDate
+    from speedyml.domain.standardize import Standardizer
+    from speedyml.hybrid.experiment import HybridModel
+    from speedyml.reservoir.esn import EsnParams
+    from speedyml.reservoir.generate import ring_shifts
 
-    cfg = ModelConfig(dtype="float32", grid_compute=grid_compute)
-    sp = Speedy(cfg)
-    sp.initialize(year=1982, month=1)
-    sp.run_days(2)                       # non-trivial state
-    L = build_layout(radang_deg=np.degrees(np.asarray(sp.dy.tables.radang)))
-
-    # reference-scale ESN parameters (timing-only: random values, real
-    # shapes/sparsity — m=6000 -> n=5760, deg 6, mod_reservoir.f90:91-93)
     R, n_in, n_out = L.R, L.n_in, L.n_out
-    m = 6000 if reference_scale else 1152
     n = (m // n_in) * n_in
-    deg = 6
     rng = np.random.default_rng(0)
     na = n + n_out
-    # production topology: circulant support ("ring with jumps") — the TPU
-    # fast path the framework generates by default (reservoir/generate.py)
-    from speedyml.reservoir.generate import ring_shifts
     shifts = ring_shifts(n, deg)
     a_idx = ((np.arange(n, dtype=np.int64)[None, :, None] + shifts) % n)
     params = EsnParams(
@@ -120,72 +116,242 @@ def bench_hybrid_step(n_steps=16, reference_scale=True,
         node_map=jnp.asarray(np.arange(n) // (n // n_in), jnp.int32),
         leakage=1.0,
         a_shift=jnp.asarray(shifts))
+    stz = Standardizer(
+        in_mean=jnp.zeros((R, n_in), jnp.float32),
+        in_std=jnp.ones((R, n_in), jnp.float32),
+        out_mean=jnp.zeros((R, n_out), jnp.float32),
+        out_std=jnp.ones((R, n_out), jnp.float32))
+    return HybridModel(layout=L, params=params, stz=stz, rcfg=rcfg,
+                       ml_only=False)
+
+
+_CACHE = {}
+
+
+def _speedy_and_hm(grid_compute="float32"):
+    """Build (speedy, hm, gs0): trained weights when available."""
+    import jax
+
+    from speedyml.core.config import ModelConfig, ReservoirConfig
+    from speedyml.domain.decomposition import build_layout
+    from speedyml.hybrid.state_io import extract
+    from speedyml.model import Speedy
+
+    cfg = ModelConfig(dtype="float32", grid_compute=grid_compute)
+    sp = Speedy(cfg)
+    sp.initialize(year=1982, month=1)
+    sp.run_days(2)                       # non-trivial state
+    gs0 = jax.tree.map(jax.numpy.asarray, extract(sp.dy, sp.state, level=0))
+
+    if "hm" not in _CACHE:
+        radang_deg = np.degrees(np.asarray(sp.dy.tables.radang))
+        trained = False
+        hm = None
+        if os.path.exists(WEIGHTS_PATH):
+            try:
+                from speedyml.io.weights import load_model
+                hm = load_model(WEIGHTS_PATH, radang_deg=radang_deg)
+                trained = not hm.ml_only
+            except Exception as e:
+                print(f"# weights load failed ({e!r}); random params",
+                      file=sys.stderr)
+        if hm is None or hm.ml_only:
+            L = build_layout(radang_deg=radang_deg)
+            hm = _random_hm(L, ReservoirConfig())
+        _CACHE["hm"] = (hm, trained)
+    return sp, _CACHE["hm"][0], _CACHE["hm"][1], gs0
+
+
+def bench_hybrid_step(n_steps=16, grid_compute="float32",
+                      wout_dtype="float32"):
+    """Full hybrid step, single trajectory (the reference's operating mode,
+    parallelmain.f90:206-273): window + pack + standardize + ESN + scatter,
+    with live precip feedback into the next step's supervector."""
+    import jax
+    import jax.numpy as jnp
+
+    from speedyml.domain.decomposition import pack_global, scatter_outputs
+    from speedyml.domain.standardize import (standardize_in, standardize_out,
+                                             unstandardize_out)
+    from speedyml.hybrid.forecast import SpeedyForecaster
+    from speedyml.hybrid.state_io import GridState
+    from speedyml.reservoir.esn import predict_step
+
+    sp, hm, trained, gs0 = _speedy_and_hm(grid_compute)
+    L = hm.layout
+    cfg = sp.config
+    params = hm.params
     if wout_dtype != "float32":
         from speedyml.reservoir.esn import cast_wout
         params = cast_wout(params, jnp.dtype(wout_dtype))
+    eps = hm.rcfg.precip_epsilon
 
     fc = SpeedyForecaster(sp, hours=6, physics=True)
-    date = sp.date
-    surf, forcing, _, _ = fc._surf_forcing(date)
-    if fc._fn is None:
-        fc._fn = fc._build()
+    surf, forcing, _, _ = fc._surf_forcing(sp.date)
+    win_fn = fc._window_fn()
     idx = jnp.asarray(L.input_index)
     tidx = jnp.asarray(L.target_index)
-    win_fn = fc._fn
-
-    gs0 = None
-    from speedyml.hybrid.state_io import extract
-    gs0 = jax.tree.map(jnp.asarray, extract(sp.dy, sp.state, level=0))
 
     @jax.jit
-    def hybrid_step(params, x, gs, surf, forcing, sst, tisr):
-        # 1. SPEEDY 6-h window (imperfect-model forecast)
+    def hybrid_step(params, stz, x, gs, precip_t, surf, forcing, sst, tisr):
         res = win_fn(gs, surf, forcing)
         f_atmo = jnp.stack([res.gs.t, res.gs.u, res.gs.v,
                             jnp.maximum(res.gs.q, 1e-6)])
-        f_pr = jnp.log1p(jnp.maximum(res.precip_mm, 0.0) / 0.001)
+        f_pr = jnp.log1p(jnp.maximum(res.precip_mm, 0.0) / eps)
         model_gv = pack_global(L, f_atmo, res.gs.logp, f_pr, sst, tisr)
-        # 2. ESN predict on [gv from current state]
         atmo = jnp.stack([gs.t, gs.u, gs.v, jnp.maximum(gs.q, 1e-6)])
-        gv = pack_global(L, atmo, gs.logp, f_pr * 0.0, sst, tisr)
-        x, out = predict_step(params, x, gv[idx], model_gv[tidx])
+        gv = pack_global(L, atmo, gs.logp, precip_t, sst, tisr)
+        u = standardize_in(stz, gv[idx])
+        mv = standardize_out(stz, model_gv[tidx])
+        x, out_std = predict_step(params, x, u, mv)
+        out = unstandardize_out(stz, out_std)
         a2, logp2, pr2 = scatter_outputs(L, out)
         gs2 = GridState(t=a2[0], u=a2[1], v=a2[2],
-                        q=jnp.maximum(a2[3], 0.0), logp=logp2)
-        return x, gs2
+                        q=jnp.maximum(a2[3], 1e-6), logp=logp2)
+        return x, gs2, jnp.maximum(pr2, 0.0)
 
     sst = jnp.asarray(np.asarray(sp.coupler.sst_am), jnp.float32)
     tisr = jnp.asarray(np.full((cfg.il, cfg.ix), 300.0), jnp.float32)
-    x = jnp.zeros((R, n), jnp.float32)
+    x = jnp.zeros((L.R, params.win.shape[1]), jnp.float32)
+    pr_t = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
 
-    # warm up (compile)
-    x, gs = hybrid_step(params, x, gs0, surf, forcing, sst, tisr)
+    x, gs, pr_t = hybrid_step(params, hm.stz, x, gs0, pr_t, surf, forcing,
+                              sst, tisr)
     _sync(gs.t)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        x, gs = hybrid_step(params, x, gs, surf, forcing, sst, tisr)
+        x, gs, pr_t = hybrid_step(params, hm.stz, x, gs, pr_t, surf,
+                                  forcing, sst, tisr)
     _sync(gs.t)
     dt = time.perf_counter() - t0
     gp = cfg.ix * cfg.il * cfg.kx
-    return n_steps * gp / dt, dt / n_steps
+    return n_steps * gp / dt, dt / n_steps, trained
+
+
+def bench_hybrid_ensemble(ens_list=(16, 32), n_steps=4,
+                          grid_compute="bfloat16"):
+    """Ensemble-batched hybrid step (hybrid/ensemble.py): the full step
+    vmapped over E members; value = E * gridpoints * steps / s."""
+    import jax.numpy as jnp
+
+    from speedyml.hybrid.ensemble import EnsembleHybrid
+    from speedyml.hybrid.forecast import SpeedyForecaster
+
+    sp, hm, trained, gs0 = _speedy_and_hm(grid_compute)
+    cfg = sp.config
+    fc = SpeedyForecaster(sp, hours=6, physics=True)
+    surf, forcing, _, _ = fc._surf_forcing(sp.date)
+    eh = EnsembleHybrid(hm, fc)
+    sst = np.asarray(sp.coupler.sst_am, np.float32)
+    tisr = np.full((cfg.il, cfg.ix), 300.0, np.float32)
+    gp = cfg.ix * cfg.il * cfg.kx
+    rng = np.random.default_rng(1)
+
+    best, best_E = 0.0, 0
+    for E in ens_list:
+        atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                         np.asarray(gs0.v),
+                         np.maximum(np.asarray(gs0.q), 1e-6)])
+        atmo_e = (atmo[None] + 0.01 * rng.normal(
+            size=(E,) + atmo.shape)).astype(np.float32)
+        logp_e = np.broadcast_to(np.asarray(gs0.logp), (E,) + gs0.logp.shape
+                                 ).astype(np.float32).copy()
+        pr_e = np.zeros_like(logp_e)
+        x_e = jnp.zeros((E, hm.layout.R, hm.params.win.shape[1]),
+                        jnp.float32)
+        out = eh.step(x_e, atmo_e, logp_e, pr_e, sst, tisr, surf, forcing)
+        _sync(out[1])
+        t0 = time.perf_counter()
+        x_e, a_e, l_e, p_e = out[0], out[1], out[2], out[3]
+        for _ in range(n_steps):
+            x_e, a_e, l_e, p_e, _safe = eh.step(x_e, a_e, l_e, p_e, sst,
+                                                tisr, surf, forcing)
+        _sync(a_e)
+        dt = time.perf_counter() - t0
+        gps = E * n_steps * gp / dt
+        if gps > best:
+            best, best_E = gps, E
+    return best, best_E
+
+
+_TRAIN_BLOCK_SRC = r"""
+import time, numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)   # device f64 ridge solve
+import jax.numpy as jnp
+from speedyml.core.config import ReservoirConfig
+from speedyml.reservoir.generate import generate_esn
+from speedyml.reservoir.training import (drive_and_accumulate, drive_discard,
+                                         init_normal_eq, ridge_solve_device)
+
+Rb, n_in, n_out, T, chunk = 8, 576, 136, 2048, 256
+rcfg = ReservoirConfig()
+params = generate_esn(0, Rb, n_in, n_out, n_model=n_out, m_target=6000)
+rng = np.random.default_rng(0)
+u = jnp.asarray(rng.normal(size=(T, Rb, n_in)), jnp.float32)
+y = jnp.asarray(rng.normal(size=(T, Rb, n_out)), jnp.float32)
+m = jnp.asarray(rng.normal(size=(T, Rb, n_out)), jnp.float32)
+key = jax.random.PRNGKey(0)
+
+def block():
+    x = jnp.zeros((Rb, params.n), jnp.float32)
+    x = drive_discard(params, x, u[:40], noise_mag=0.2, rng_key=key)
+    acc = init_normal_eq(params, n_out)._replace(x=x)
+    acc = drive_and_accumulate(params, acc, u[40:-1], y[41:], m[41:],
+                               noise_mag=0.2, rng_key=key, chunk=chunk)
+    w = ridge_solve_device(acc, n_out, rcfg.beta_res, rcfg.beta_model)
+    return w
+
+w = block()                      # compile + first run
+np.asarray(w.ravel()[0])
+t0 = time.perf_counter()
+w = block()
+np.asarray(w.ravel()[0])
+dt = time.perf_counter() - t0
+print(f"TRAIN_BLOCK_S {dt:.3f} T {T}")
+"""
+
+
+def bench_train_block():
+    """One 8-region reference-scale training block (state loop +
+    compensated accumulation + device-f64 ridge solve) in an x64
+    subprocess; returns (seconds_per_block, samples)."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _TRAIN_BLOCK_SRC],
+                           capture_output=True, text=True, timeout=1200,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("TRAIN_BLOCK_S"):
+                parts = line.split()
+                return float(parts[1]), int(parts[3])
+        print(f"# train block bench failed: {r.stdout[-200:]} "
+              f"{r.stderr[-400:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"# train block bench error: {e!r}", file=sys.stderr)
+    return None, None
 
 
 def main():
     out = {}
-    hybrid_gps, step_s = bench_hybrid_step()
+    hybrid_gps, step_s, trained = bench_hybrid_step()
     out["hybrid_ms_per_step"] = round(step_s * 1e3, 2)
     out["hybrid_mode"] = "float32"
+    out["hybrid_weights"] = "trained" if trained else "random"
     # fast paths: bf16 grid compute for the SPEEDY window (spectral state
     # stays f32) and bf16-stored wout (f32 accumulation) for the readout's
     # HBM stream; tracked value = best mode
-    hyb16, step16 = bench_hybrid_step(grid_compute="bfloat16")
+    hyb16, step16, _ = bench_hybrid_step(grid_compute="bfloat16")
     out["hybrid_ms_per_step_bf16"] = round(step16 * 1e3, 2)
     if hyb16 > hybrid_gps:
         hybrid_gps, out["hybrid_mode"] = hyb16, "bfloat16-grid"
-    hybw, stepw = bench_hybrid_step(wout_dtype="bfloat16")
+    hybw, stepw, _ = bench_hybrid_step(wout_dtype="bfloat16")
     out["hybrid_ms_per_step_bf16_wout"] = round(stepw * 1e3, 2)
     if hybw > hybrid_gps:
         hybrid_gps, out["hybrid_mode"] = hybw, "bfloat16-wout"
+
+    ens_gps, ens_E = bench_hybrid_ensemble()
+    out["hybrid_ensemble_gps"] = round(ens_gps, 1)
+    out["hybrid_ensemble_E"] = ens_E
 
     dry_f32, ens32 = bench_dry_core(grid_compute="float32")
     dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")
@@ -193,8 +359,14 @@ def main():
     out["dry_core_bf16"] = round(dry_bf16, 1)
     out["dry_core_ens"] = ens32 if dry_f32 >= dry_bf16 else ens16
 
-    # baseline: only compare like-for-like (the r1 baseline tracked the dry
-    # core; the hybrid metric's own baseline appears under "hybrid_value")
+    tb_s, tb_T = bench_train_block()
+    if tb_s is not None:
+        out["train_block_s"] = round(tb_s, 2)
+        out["train_block_samples"] = tb_T
+
+    # baseline: BENCH_BASELINE.json holds this framework's own earlier
+    # rounds' numbers (the reference publishes none) — vs_baseline is
+    # self-improvement, like-for-like per metric
     baseline = dry_base = None
     try:
         with open("BENCH_BASELINE.json") as f:
@@ -212,6 +384,8 @@ def main():
         "value": round(hybrid_gps, 1),
         "unit": "gridpoint-steps/s/chip",
         "vs_baseline": round(vs, 3),
+        "baseline_note": "vs this framework's r2 first hybrid measurement"
+                         " (reference publishes no throughput numbers)",
         **out,
     }))
 

@@ -120,7 +120,9 @@ def phase_train(args):
     hm = train_hybrid(L, rcfg, gv_truth[:n_train],
                       None if args.ml_only else gv_model[:n_train],
                       seed=0, region_block=args.region_block,
-                      solver="device", verbose=True, checkpoint_dir=ckdir)
+                      chunk=args.chunk, solver="device", verbose=True,
+                      checkpoint_dir=ckdir,
+                      upload_dtype=(np.float16 if args.upload_f16 else None))
     timings["train_s"] = time.time() - t
     log(f"TRAIN done in {timings['train_s']:.0f}s: wout {hm.params.wout.shape}"
         f" ({hm.params.wout.nbytes/1e9:.2f} GB), peak rss {peak_rss_gb():.1f} GB")
@@ -396,6 +398,14 @@ def main():
     ap.add_argument("--no-train-ckpt", dest="train_ckpt",
                     action="store_false")
     ap.add_argument("--region-block", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="timesteps per accumulation GEMM (256 amortizes "
+                         "the hi/lo accumulator HBM traffic, r3 probe)")
+    ap.add_argument("--upload-f16", action="store_true", default=True,
+                    help="upload standardized series as float16 (halves "
+                         "the dominant per-block transfer; compute f32)")
+    ap.add_argument("--no-upload-f16", dest="upload_f16",
+                    action="store_false")
     ap.add_argument("--fc-steps", type=int, default=124)
     ap.add_argument("--weights", default="data/refscale_weights.nc")
     ap.add_argument("--results", default="data/refscale_results.json")

@@ -185,6 +185,80 @@ def read_era_range(dirpath: str, y0: int, y1: int,
     return out
 
 
+def read_sst_year(path: str) -> np.ndarray:
+    """(T, il, ix) observed SST from an ERA-schema file, without loading the
+    3-D fields (the per-variable analog of the reference's
+    read_3d_file_parallel on the SST companion, mod_io.f90:2731-2812)."""
+    f = _open(path)
+    try:
+        v = f.variables["SST"]
+        return _to_tzyx(_native(v[:]).astype(np.float32), v.dimensions)
+    finally:
+        f.close()
+
+
+class ObservedBoundary:
+    """File-backed SST/TISR-by-date at PREDICTION time.
+
+    The reference's get_sst_by_date / get_tisr_by_date (mpires.f90:1676-1710)
+    re-read the observed companion files every hybrid step so the reservoir
+    feedback uses observed boundary conditions rather than climatology /
+    analytic values. Here the reference-schema files for years [y0, y1] are
+    loaded once (SST from the era files' SST variable; TISR from the
+    toa_incident_solar_radiation files) and served by date at the file
+    cadence.
+
+    Usage: ob = ObservedBoundary(dir, 1990, 1999, tisr_dir=dir);
+    HybridRunner.run(..., sst_fn=ob.sst_fn, tisr_fn=ob.tisr_fn).
+    """
+
+    def __init__(self, dirpath: str, y0: int, y1: Optional[int] = None,
+                 tisr_dir: Optional[str] = None,
+                 suffix: str = "_regridded_mpi_fixed_var_gcc",
+                 cadence_hours: int = 6):
+        from ..core.calendar import hours_since_epoch
+
+        y1 = y1 if y1 is not None else y0
+        self.cadence = cadence_hours
+        self.hours0 = hours_since_epoch(y0, 1, 1, 0)
+        self.sst = None
+        self.tisr = None
+        sst_parts = []
+        for y in range(y0, y1 + 1):
+            p = era_file_name(dirpath, y, suffix)
+            if not os.path.exists(p):
+                sst_parts = []
+                break
+            sst_parts.append(read_sst_year(p))
+        if sst_parts:
+            self.sst = np.concatenate(sst_parts)
+        if tisr_dir is not None:
+            self.tisr = np.concatenate(
+                [read_tisr_year(tisr_file_name(tisr_dir, y))
+                 for y in range(y0, y1 + 1)])
+
+    def _index(self, series: np.ndarray, date) -> int:
+        from ..core.calendar import hours_since_epoch
+
+        h = hours_since_epoch(date.iyear, date.imonth, date.iday,
+                              date.ihour) - self.hours0
+        i = int(h) // self.cadence
+        if not 0 <= i < len(series):
+            raise IndexError(
+                f"date {date.iyear}-{date.imonth:02d}-{date.iday:02d}"
+                f"T{date.ihour:02d} outside the loaded boundary window "
+                f"({len(series)} records from epoch+{self.hours0}h)")
+        return i
+
+    def sst_fn(self, date) -> np.ndarray:
+        assert self.sst is not None, "no SST files loaded"
+        return self.sst[self._index(self.sst, date)]
+
+    def tisr_fn(self, date) -> np.ndarray:
+        assert self.tisr is not None, "no TISR files loaded"
+        return self.tisr[self._index(self.tisr, date)]
+
+
 def write_tisr_year(path: str, tisr: np.ndarray) -> None:
     """Write an hourly/6-hourly TISR file in the reference's schema
     (toa_incident_solar_radiation_*.nc, speedy_res_interface.f90:368-370)."""

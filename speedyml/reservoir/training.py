@@ -83,10 +83,13 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
     if use_pallas is None:
         use_pallas = accum_available()
     dt = acc.x.dtype
-    inputs = jnp.asarray(inputs, dt)
-    targets = jnp.asarray(targets, dt)
+    # two-step convert: device_put at the HOST dtype (callers may hand
+    # float16 series to halve the host->device transfer on slow links —
+    # train_hybrid upload_dtype), then cast to the compute dtype ON DEVICE
+    inputs = jnp.asarray(inputs).astype(dt)
+    targets = jnp.asarray(targets).astype(dt)
     if model_states is not None:
-        model_states = jnp.asarray(model_states, dt)
+        model_states = jnp.asarray(model_states).astype(dt)
     if noise_mag > 0.0:
         assert rng_key is not None
         inputs = _add_noise(inputs, noise_mag, rng_key)
@@ -165,7 +168,7 @@ def drive_and_accumulate(params: EsnParams, acc: NormalEq, inputs, targets,
 def drive_discard(params: EsnParams, x, inputs, noise_mag: float = 0.0,
                   rng_key=None):
     """Discard/spin-up phase: advance only (mod_reservoir.f90:983-996)."""
-    inputs = jnp.asarray(inputs, x.dtype)
+    inputs = jnp.asarray(inputs).astype(x.dtype)
     if noise_mag > 0.0:
         inputs = _add_noise(inputs, noise_mag, rng_key)
 

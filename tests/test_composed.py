@@ -113,6 +113,38 @@ def test_composed_matches_single_device_dry(setup):
     np.testing.assert_allclose(np.asarray(xc), xr, rtol=3e-4, atol=1e-4)
 
 
+def test_ensemble_step_matches_per_member(setup):
+    """EnsembleHybrid (vmapped full hybrid step) must reproduce E
+    independent single-member steps (dry window; same compilation-context
+    rationale as above)."""
+    from speedyml.hybrid.ensemble import EnsembleHybrid
+
+    sp, hm, atmo, logp, pr_t, sst, tisr, x0 = setup
+    rng = np.random.default_rng(7)
+    E = 2
+    atmo_e = np.stack([atmo, atmo + 0.1 * rng.normal(
+        size=atmo.shape).astype(np.float32)])
+    logp_e = np.stack([logp, logp])
+    pr_e = np.stack([pr_t, pr_t])
+    x_e = jnp.stack([x0, x0 * 0.5])
+
+    fc = SpeedyForecaster(sp, hours=hm.rcfg.timestep, physics=False)
+    eh = EnsembleHybrid(hm, fc)
+    xe1, ae1, le1, pe1, safe = eh.step(x_e, atmo_e, logp_e, pr_e, sst,
+                                       tisr, sp.surf, sp.forcing)
+    assert bool(np.asarray(safe).all())
+    for m in range(E):
+        xr, ar, lr, pr, safe_r = _single_device_step(
+            sp, hm, atmo_e[m], logp_e[m], pr_e[m], sst, tisr, x_e[m],
+            physics=False)
+        np.testing.assert_allclose(np.asarray(ae1[m]), ar, rtol=3e-4,
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(le1[m]), lr, rtol=3e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(xe1[m]), xr, rtol=3e-4,
+                                   atol=1e-4)
+
+
 def test_composed_full_physics_executes(setup):
     sp, hm, atmo, logp, pr_t, sst, tisr, x0 = setup
     mesh = Mesh(np.array(jax.devices()[:8]), ("mp",))

@@ -122,3 +122,47 @@ def test_linalg_parity():
     D = np.diag([2.0, 4.0, 8.0])
     np.testing.assert_allclose(pinv_svd(D), np.diag([0.5, 0.25, 0.125]),
                                rtol=1e-10)
+
+
+def test_observed_boundary_by_date(tmp_path):
+    """File-backed SST/TISR-by-date at prediction (io.era.ObservedBoundary;
+    the reference's get_sst_by_date/get_tisr_by_date, mpires.f90:1676-1710):
+    reference-schema companion files served by date, multi-year."""
+    import pytest
+    from speedyml.io.era import (ObservedBoundary, tisr_file_name,
+                                 write_era_year, write_tisr_year)
+
+    rng = np.random.default_rng(1)
+    kx, il, ix = 2, 4, 8
+    n1995 = 365 * 4          # 6-hourly
+    n1996 = 366 * 4          # leap year
+    sst = {}
+    tisr = {}
+    for y, T in ((1995, n1995), (1996, n1996)):
+        atmo = rng.normal(size=(T, 4, kx, il, ix)).astype(np.float32) * 1e-3
+        logp = rng.normal(size=(T, il, ix)).astype(np.float32)
+        sst[y] = (290 + rng.normal(size=(T, il, ix))).astype(np.float32)
+        tisr[y] = np.abs(rng.normal(size=(T, il, ix))).astype(np.float32)
+        write_era_year(era_file_name(str(tmp_path), y), atmo, logp,
+                       sst=sst[y])
+        write_tisr_year(tisr_file_name(str(tmp_path), y), tisr[y])
+
+    ob = ObservedBoundary(str(tmp_path), 1995, 1996,
+                          tisr_dir=str(tmp_path))
+    # start of the window
+    np.testing.assert_array_equal(ob.sst_fn(ModelDate(1995, 1, 1, 0)),
+                                  sst[1995][0])
+    # 6-hour cadence: Jan 2 1995, 18:00 -> index 7
+    np.testing.assert_array_equal(ob.sst_fn(ModelDate(1995, 1, 2, 18)),
+                                  sst[1995][7])
+    # crosses into the second year (365-day first year)
+    np.testing.assert_array_equal(ob.tisr_fn(ModelDate(1996, 1, 1, 6)),
+                                  tisr[1996][1])
+    # mid-cadence dates floor to the previous record
+    np.testing.assert_array_equal(ob.sst_fn(ModelDate(1995, 1, 1, 5)),
+                                  sst[1995][0])
+    # out-of-window dates raise rather than silently wrapping
+    with pytest.raises(IndexError):
+        ob.sst_fn(ModelDate(1997, 1, 1, 0))
+    with pytest.raises(IndexError):
+        ob.tisr_fn(ModelDate(1994, 12, 31, 18))

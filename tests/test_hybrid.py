@@ -302,3 +302,28 @@ def test_train_checkpoint_resume(tmp_path):
                                   np.asarray(hm2.params.wout))
     np.testing.assert_array_equal(np.asarray(hm1.params.a_val),
                                   np.asarray(hm2.params.a_val))
+
+def test_f16_upload_training_equivalence():
+    """upload_dtype=float16 (transfer optimization for slow device links)
+    must leave the trained readout within a small bound of the f32 result:
+    the quantization (~5e-4 relative on standardized values) is far below
+    the 20% training input noise."""
+    L = _small_layout()
+    rcfg = _small_rcfg(noise_std=0.0)
+    T = 300
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=11)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    hm32 = train_hybrid(L, rcfg, gv, None, seed=3)
+    hm16 = train_hybrid(L, rcfg, gv, None, seed=3, upload_dtype=np.float16)
+    w32 = np.asarray(hm32.params.wout)
+    w16 = np.asarray(hm16.params.wout)
+    # readout-scale comparison: relative Frobenius delta per region
+    num = np.linalg.norm((w16 - w32).reshape(L.R, -1), axis=1)
+    den = np.linalg.norm(w32.reshape(L.R, -1), axis=1)
+    assert float((num / den).max()) < 0.05, (num / den).max()
+    # and the closed-loop readout barely moves
+    x32 = hm32.synchronize(gv[:80])
+    x16 = hm16.synchronize(gv[:80])
+    d = np.abs(np.asarray(x16) - np.asarray(x32)).max()
+    assert d < 0.05, d
