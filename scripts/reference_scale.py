@@ -112,6 +112,9 @@ def phase_train(args):
                                   truth.sst, truth.tisr, rcfg.precip_epsilon)
     gv_model = transform_and_pack(L, m_atmo, m_logp, m_precip,
                                   truth.sst, truth.tisr, rcfg.precip_epsilon)
+    hours = truth.hours
+    if not args.predict_inline:               # inline scoring needs truth
+        del z, truth, m_atmo, m_logp, m_precip    # ~30 GB of host arrays
     log(f"packed: gv {gv_truth.shape}")
 
     t = time.time()
@@ -120,7 +123,8 @@ def phase_train(args):
     hm = train_hybrid(L, rcfg, gv_truth[:n_train],
                       None if args.ml_only else gv_model[:n_train],
                       seed=0, region_block=args.region_block,
-                      chunk=args.chunk, solver="device", verbose=True,
+                      chunk=args.chunk, solver="device",
+                      verbose=(2 if os.environ.get("TRAIN_DEBUG") else True),
                       checkpoint_dir=ckdir,
                       upload_dtype=(np.float16 if args.upload_f16 else None))
     timings["train_s"] = time.time() - t

@@ -296,9 +296,12 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     discard = max(1, rcfg.discardlength // rcfg.timestep)
     assert Tn > discard + 2, "training series shorter than discard"
 
-    # stats from the packed truth inputs (per region/var/level)
-    inputs_all = gv_truth[:, layout.input_index]        # (T, R, n_in)
-    stz = compute_stats(layout, inputs_all)
+    # stats from the packed truth inputs (per region/var/level), streamed —
+    # the gathered (T, R, n_in) series is 43 GB at reference scale x 16k
+    # samples and is never materialized; per-block inputs are gathered
+    # from the packed series on demand below
+    from ..domain.standardize import compute_stats_gv
+    stz = compute_stats_gv(layout, gv_truth)
     out_mean = np.asarray(stz.out_mean)
     out_std = np.asarray(stz.out_std)
     in_mean = np.asarray(stz.in_mean)
@@ -337,14 +340,25 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                 shift_parts.append(z["a_shift"] if "a_shift" in z.files
                                    else None)
                 continue
+        tphase = _time.time()
+
+        def _tp(label, on=verbose == 2):
+            nonlocal tphase
+            if on:
+                print(f"    [{label}: {_time.time()-tphase:.1f}s]",
+                      flush=True)
+            tphase = _time.time()
+
         n_model = 0 if ml_only else layout.n_out
         params = generate_esn(seed + 17 * bi, Rb, layout.n_in, layout.n_out,
                               n_model, m_target=rcfg.nodes_per_input,
                               deg=rcfg.degree, sigma=rcfg.sigma,
                               leakage=rcfg.leakage, radii=radii[blk])
         q_nodes = params.q
+        _tp("generate")
 
-        u_blk = (inputs_all[:, blk] - in_mean[blk]) / in_std[blk]
+        u_blk = (gv_truth[:, layout.input_index[blk]]
+                 - in_mean[blk]) / in_std[blk]
         y_all = gv_truth[:, layout.target_index[blk]]
         y_blk = (y_all - out_mean[blk]) / out_std[blk]
         if not ml_only:
@@ -355,6 +369,7 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             y_blk = y_blk.astype(upload_dtype)
             if not ml_only:
                 m_blk = m_blk.astype(upload_dtype)
+        _tp("slice+standardize")
 
         # noise keys are a pure function of (seed, block) so a checkpoint
         # resume that skips completed blocks stays bitwise-identical
@@ -369,6 +384,9 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             params, acc, u_blk[discard:-1], y_blk[discard + 1:],
             None if ml_only else m_blk[discard + 1:],
             noise_mag=rcfg.noise_std, rng_key=kt, chunk=chunk)
+        if verbose == 2:
+            np.asarray(jnp.ravel(acc.ss_hi)[0])
+        _tp("discard+accumulate")
         if solver == "device":
             from ..reservoir.training import ridge_solve_device
             wout = ridge_solve_device(acc, n_model, rcfg.beta_res,
@@ -379,7 +397,9 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             wout = ridge_solve(acc, n_model, rcfg.beta_res, rcfg.beta_model,
                                prior_val=rcfg.prior_val,
                                use_prior=rcfg.prior_val != 0.0)
+        _tp("ridge solve")
         wout_parts.append(np.asarray(wout, np.float32))
+        _tp("wout fetch")
         idx_parts.append(np.asarray(params.a_idx))
         val_parts.append(np.asarray(params.a_val))
         win_parts.append(np.asarray(params.win))
