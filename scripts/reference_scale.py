@@ -314,6 +314,7 @@ def phase_coupled(args):
     # weekly cadence gives only n_train/28 samples (the reference trains on
     # decades; this is the machinery at the coupled operating point)
     orcfg = ReservoirConfig(slab_nodes=args.ocean_m,
+                            slab_beta_res=args.ocean_beta,
                             discardlength=rcfg.discardlength,
                             timestep_slab=args.slab_hours)
     ocean = train_ocean(L, orcfg, gv_truth[:n_train], seed=100,
@@ -414,7 +415,13 @@ def main():
     ap.add_argument("--weights", default="data/refscale_weights.nc")
     ap.add_argument("--results", default="data/refscale_results.json")
     ap.add_argument("--ocean-m", type=int, default=2000,
-                    help="slab-ocean reservoir target size (coupled phase)")
+                    help="slab-ocean reservoir target size (coupled phase); "
+                         "size to the WEEKLY sample count — a 4.4-year "
+                         "cache gives 573 weekly samples, so ~500 nodes "
+                         "(the reference's 4000 assumes decades of data)")
+    ap.add_argument("--ocean-beta", type=float, default=1e-4,
+                    help="ocean ridge beta_res (reference 1e-4 at decades "
+                         "of data; raise for short training records)")
     ap.add_argument("--slab-hours", type=int, default=168,
                     help="ocean reservoir cadence in hours (reference: 168)")
     ap.add_argument("--ocean-block", type=int, default=64,
@@ -430,6 +437,8 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.phase == "coupled" and args.results == "data/refscale_results.json":
+        args.results = "data/coupled_results.json"   # don't clobber predict
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

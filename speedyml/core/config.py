@@ -119,6 +119,10 @@ class ReservoirConfig:
     slab_beta_res: float = 1e-4
     slab_noise_std: float = 0.10
     slab_leakage: float = 1.0
+    # max |predicted SST - climatology| fed back to the coupled system [K]
+    # (0 disables); the anomaly analog of the reference's 6 K hybrid-SST
+    # acceptance gate (cpl_sea.f90:38-44) — see OceanModel.compose_sst
+    slab_anom_clip: float = 6.0
     sst_variance_threshold: float = 0.2
 
 

@@ -222,17 +222,30 @@ class OceanModel:
                     layout: RegionLayout):
         """Blend predicted SST (active regions) with climatology: the
         reference's sst_bool_prediction + sea-mask freeze
-        (mod_slab_ocean_reservoir.f90:833-867, mpires.f90:456-563)."""
+        (mod_slab_ocean_reservoir.f90:833-867, mpires.f90:456-563).
+
+        Predicted SST is gated to within slab_anom_clip [K] of the
+        climatology — the anomaly analog of the reference's 6 K
+        hybrid-SST acceptance gate at the SPEEDY boundary
+        (cpl_sea.f90:38-44): a reservoir extrapolating far outside its
+        training distribution (short ocean training records) must not be
+        allowed to destabilize the coupled system. ENSO-scale anomalies
+        (+-3 K) pass untouched; absolute bounds [271, 306] K apply last."""
         L = layout
         ncore = L.resy * L.resx
-        grid = np.asarray(sst_clim, np.float64).copy()
+        clim = np.asarray(sst_clim, np.float64)
+        grid = clim.copy()
         flat = grid.reshape(-1)
         g_ss0 = L.gv_sizes["sst"][0]
         tgt = self.ol.target_index[:, :ncore] - g_ss0   # flat grid indices
         pred = np.asarray(sst_pred_core, np.float64)[:, :ncore]
         act = self.active
         flat[tgt[act].reshape(-1)] = pred[act].reshape(-1)
-        return np.maximum(flat.reshape(grid.shape), 271.0)
+        grid = flat.reshape(grid.shape)
+        clip = getattr(self.rcfg, "slab_anom_clip", 0.0)
+        if clip:
+            grid = np.clip(grid, clim - clip, clim + clip)
+        return np.clip(grid, 271.0, 306.0)
 
 
 def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
