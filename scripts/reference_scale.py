@@ -322,6 +322,10 @@ def phase_coupled(args):
                         solver="device" if not args.cpu else "host",
                         checkpoint_dir=(args.cache + ".ocean_ckpt"
                                         if args.train_ckpt else None))
+    # pointwise 3-sigma anomaly gate for the SST feedback (see
+    # OceanModel.compose_sst): keeps fed-back SST inside the atmosphere
+    # reservoirs' training input distribution
+    ocean.anom_std = np.maximum(truth.sst[:n_train], 272.0).std(axis=0)
     log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active")
     if args.ocean_train_only:
         log("ocean training blocks persisted; rerun without "

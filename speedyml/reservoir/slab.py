@@ -177,6 +177,12 @@ class OceanModel:
     stz: Standardizer
     active: np.ndarray        # (R,) bool: sst variance above threshold
     rcfg: ReservoirConfig
+    # optional (il, ix) per-gridpoint training-SST std: when set, the
+    # compose_sst anomaly gate tightens to 3 sigma pointwise so the fed-back
+    # SST stays inside the ATMO reservoirs' standardized input distribution
+    # (self-generated truth has near-climatological SST with tiny tropical
+    # variance, where even a 2 K anomaly is many sigma out of distribution)
+    anom_std: Optional[np.ndarray] = None
     _step_fn: Optional[callable] = None
     _sync_fn: Optional[callable] = None
 
@@ -244,7 +250,10 @@ class OceanModel:
         grid = flat.reshape(grid.shape)
         clip = getattr(self.rcfg, "slab_anom_clip", 0.0)
         if clip:
-            grid = np.clip(grid, clim - clip, clim + clip)
+            cf = np.asarray(clip, np.float64)
+            if self.anom_std is not None:
+                cf = np.minimum(cf, np.maximum(3.0 * self.anom_std, 0.05))
+            grid = np.clip(grid, clim - cf, clim + cf)
         return np.clip(grid, 271.0, 306.0)
 
 
