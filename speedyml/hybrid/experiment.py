@@ -524,7 +524,11 @@ class HybridRunner:
         aborted = False
         gv_sum = None
         n_accum = 0
-        sst_cur = None if sst0 is None else np.asarray(sst0, np.float64)
+        # ocean feedback persists as an ANOMALY vs climatology between
+        # weekly updates (re-applied on the advancing climatology), not as
+        # a week-frozen absolute field — the seasonal cycle the reservoirs
+        # were trained on keeps moving underneath
+        sst_anom = None if sst0 is None else np.asarray(sst0, np.float64)
         spw = 0 if ocean is None else ocean.steps_per_week
         for step_i in range(n_steps):
             sst, tisr = self._sst_tisr(date)
@@ -532,8 +536,8 @@ class HybridRunner:
                 sst = sst_fn(date)
             if tisr_fn is not None:
                 tisr = tisr_fn(date)
-            if sst_cur is not None:
-                sst = sst_cur
+            if sst_anom is not None:
+                sst = np.clip(sst + sst_anom, 200.0, 306.0)
             gv = self._pack(atmo, logp, precip_t, sst, tisr)
 
             if ocean is not None:
@@ -549,8 +553,8 @@ class HybridRunner:
                     gv_week = compose_week_inputs(gv, gv_sum, spw, L)
                     x_ocean, sst_core = ocean.step(x_ocean, gv_week)
                     clim_sst, _ = self._sst_tisr(date)
-                    sst_cur = ocean.compose_sst(
-                        np.asarray(sst_core), clim_sst, L)
+                    sst_anom = ocean.compose_sst(
+                        np.asarray(sst_core), clim_sst, L) - clim_sst
                     gv_sum, n_accum = None, 0
 
             model_gv = None
@@ -588,7 +592,8 @@ class HybridRunner:
             if checkpoint_path and checkpoint_every and \
                     (step_i + 1) % checkpoint_every == 0:
                 from ..io.checkpoint import save_prediction
-                extra = {"sst_cur": sst_cur} if sst_cur is not None else None
+                extra = ({"sst_anom": sst_anom}
+                         if sst_anom is not None else None)
                 save_prediction(checkpoint_path, x, atmo, logp, precip_t,
                                 date, step=step_i + 1, extra=extra)
             if verbose and (step_i + 1) % verbose == 0:
@@ -611,7 +616,7 @@ class HybridRunner:
         """Resume a prediction exactly from a run() checkpoint."""
         from ..io.checkpoint import load_prediction
         st = load_prediction(checkpoint_path)
-        sst0 = st["extra"].get("sst_cur") if st["extra"] else None
+        sst0 = st["extra"].get("sst_anom") if st["extra"] else None
         return self.run(jnp.asarray(st["x"]), st["atmo"], st["logp"],
                         st["precip_t"], st["date"], n_steps,
                         sst0=kw.pop("sst0", sst0), **kw)

@@ -254,7 +254,14 @@ class OceanModel:
             if self.anom_std is not None:
                 cf = np.minimum(cf, np.maximum(3.0 * self.anom_std, 0.05))
             grid = np.clip(grid, clim - cf, clim + cf)
-        return np.clip(grid, 271.0, 306.0)
+        # sanity bounds ONLY — the boundary field is the ICE-BLENDED
+        # sst_am (sst + sice*(tice - sst), cpl_sea.f90), which
+        # legitimately reaches ~237 K over sea ice. Flooring it at the
+        # open-water freezing point (an earlier-round mistake, first
+        # executed in the r3 coupled run) jumped polar surface
+        # temperatures by +34 K at the first ocean step and destabilized
+        # the whole coupled system.
+        return np.clip(grid, 200.0, 306.0)
 
 
 def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
