@@ -127,7 +127,10 @@ def main():
     ap.add_argument("--cache", default="data/refscale.npz")
     ap.add_argument("--skip", type=int, default=120,
                     help="cache samples to skip (spin-up tail)")
-    ap.add_argument("--lat-from-model", action="store_true", default=True)
+    ap.add_argument("--lat-from-model", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="read the Gaussian latitudes from a built model "
+                         "(--no-lat-from-model uses the analytic fallback)")
     ap.add_argument("--days", type=int, default=120)
     ap.add_argument("--spinup", type=int, default=60)
     ap.add_argument("--year", type=int, default=1985)

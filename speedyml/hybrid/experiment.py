@@ -486,13 +486,18 @@ class HybridRunner:
                            ss, ti)
 
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
-            sst_fn=None, tisr_fn=None, ocean=None, x_ocean=None, sst0=None,
-            writer=None, component_writers=None,
+            sst_fn=None, tisr_fn=None, ocean=None, x_ocean=None,
+            sst_anom0=None, writer=None, component_writers=None,
             checkpoint_path=None, checkpoint_every=0, verbose=0,
-            deadline=None):
+            deadline=None, gv_sum0=None, n_accum0=0):
         """Run n_steps hybrid steps from transformed global fields.
 
         sst_fn(date) -> (il, ix) SST override; default climatology.
+        Mutually exclusive with `ocean` (an interactive ocean's anomaly is
+        defined against the climatology; adding it on top of an observed
+        field would double-count observed anomalies).
+        sst_anom0: (il, ix) initial SST ANOMALY vs climatology (NOT an
+        absolute field) applied until the first weekly ocean update.
         tisr_fn(date) -> (il, ix) TISR override; default diurnal analytic.
         File-backed observed sources for both (the reference's
         get_sst_by_date/get_tisr_by_date, mpires.f90:1676-1710) are provided
@@ -515,6 +520,9 @@ class HybridRunner:
         """
         hm = self.hm
         L = hm.layout
+        assert not (sst_fn is not None and ocean is not None), \
+            "sst_fn (observed SST) and an interactive ocean are mutually " \
+            "exclusive: the ocean anomaly is defined against climatology"
         atmo, logp, precip_t = (jnp.asarray(atmo0, jnp.float32),
                                 jnp.asarray(logp0, jnp.float32),
                                 None if precip_t0 is None
@@ -522,13 +530,15 @@ class HybridRunner:
         date = ModelDate(date.iyear, date.imonth, date.iday, date.ihour)
         traj = {k: [] for k in ("atmo", "logp", "precip_mm", "sst")}
         aborted = False
-        gv_sum = None
-        n_accum = 0
+        gv_sum = None if gv_sum0 is None else jnp.asarray(gv_sum0,
+                                                          jnp.float32)
+        n_accum = int(n_accum0)
         # ocean feedback persists as an ANOMALY vs climatology between
         # weekly updates (re-applied on the advancing climatology), not as
         # a week-frozen absolute field — the seasonal cycle the reservoirs
         # were trained on keeps moving underneath
-        sst_anom = None if sst0 is None else np.asarray(sst0, np.float64)
+        sst_anom = (None if sst_anom0 is None
+                    else np.asarray(sst_anom0, np.float64))
         spw = 0 if ocean is None else ocean.steps_per_week
         for step_i in range(n_steps):
             sst, tisr = self._sst_tisr(date)
@@ -592,10 +602,20 @@ class HybridRunner:
             if checkpoint_path and checkpoint_every and \
                     (step_i + 1) % checkpoint_every == 0:
                 from ..io.checkpoint import save_prediction
-                extra = ({"sst_anom": sst_anom}
-                         if sst_anom is not None else None)
+                extra = {}
+                if sst_anom is not None:
+                    extra["sst_anom"] = sst_anom
+                if ocean is not None:
+                    # weekly accumulator + ocean reservoir state: without
+                    # these, a mid-week resume would restart the week-mean
+                    # window with shifted phase and a cold ocean state
+                    extra["n_accum"] = n_accum
+                    if gv_sum is not None:
+                        extra["gv_sum"] = np.asarray(gv_sum)
+                    if x_ocean is not None:
+                        extra["x_ocean"] = np.asarray(x_ocean)
                 save_prediction(checkpoint_path, x, atmo, logp, precip_t,
-                                date, step=step_i + 1, extra=extra)
+                                date, step=step_i + 1, extra=extra or None)
             if verbose and (step_i + 1) % verbose == 0:
                 import time as _t
                 print(f"  predict step {step_i + 1}/{n_steps} "
@@ -616,7 +636,21 @@ class HybridRunner:
         """Resume a prediction exactly from a run() checkpoint."""
         from ..io.checkpoint import load_prediction
         st = load_prediction(checkpoint_path)
-        sst0 = st["extra"].get("sst_anom") if st["extra"] else None
+        ex = st["extra"] or {}
+        if "sst_cur" in ex:
+            # legacy (pre-r4) checkpoints stored the ABSOLUTE fed-back SST;
+            # convert to the anomaly semantics against the climatology at
+            # the checkpoint date rather than silently dropping the feedback
+            clim_sst, _ = self._sst_tisr(st["date"])
+            ex["sst_anom"] = np.asarray(ex.pop("sst_cur"),
+                                        np.float64) - clim_sst
+        sst_anom0 = ex.get("sst_anom")
+        if "x_ocean" in ex and kw.get("ocean") is not None \
+                and kw.get("x_ocean") is None:
+            kw["x_ocean"] = jnp.asarray(ex["x_ocean"])
         return self.run(jnp.asarray(st["x"]), st["atmo"], st["logp"],
                         st["precip_t"], st["date"], n_steps,
-                        sst0=kw.pop("sst0", sst0), **kw)
+                        sst_anom0=kw.pop("sst_anom0", sst_anom0),
+                        gv_sum0=kw.pop("gv_sum0", ex.get("gv_sum")),
+                        n_accum0=kw.pop("n_accum0",
+                                        int(ex.get("n_accum", 0))), **kw)

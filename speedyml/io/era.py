@@ -227,11 +227,13 @@ class ObservedBoundary:
         for y in range(y0, y1 + 1):
             p = era_file_name(dirpath, y, suffix)
             if not os.path.exists(p):
-                sst_parts = []
-                break
+                # fail at construction (matching the TISR path) — a silent
+                # self.sst = None would only surface as a bare assertion at
+                # the first prediction step, far from the misconfiguration
+                raise FileNotFoundError(
+                    f"SST year file missing: {p} (years {y0}-{y1})")
             sst_parts.append(read_sst_year(p))
-        if sst_parts:
-            self.sst = np.concatenate(sst_parts)
+        self.sst = np.concatenate(sst_parts)
         if tisr_dir is not None:
             self.tisr = np.concatenate(
                 [read_tisr_year(tisr_file_name(tisr_dir, y))

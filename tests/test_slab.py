@@ -168,12 +168,108 @@ def test_runner_with_ocean():
 
     runner = _R(hm, None, clim=object(), dy=object())
     from speedyml.core.calendar import ModelDate
+    # sst_anom0 is an ANOMALY vs climatology (zero = start on climatology,
+    # which the stub pins to sst_last)
     out = runner.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0),
-                     n_steps=10, ocean=om, sst0=sst_last)
+                     n_steps=10, ocean=om, sst_anom0=np.zeros_like(sst_last))
     assert out["sst"].shape[0] == 10
-    # first 4 steps use sst0; after the week boundary the ocean prediction
-    # replaces SST over active regions
+    # first 4 steps ride the climatology; after the week boundary the ocean
+    # prediction's anomaly changes SST over active regions
     np.testing.assert_allclose(out["sst"][0], sst_last, atol=1e-6)
     assert not np.allclose(out["sst"][5], sst_last)
     assert out["x_ocean"] is not None
     assert np.isfinite(out["atmo"]).all()
+
+
+def test_runner_ocean_excludes_sst_fn():
+    """Interactive ocean + observed-SST override double-count anomalies;
+    run() must refuse the combination."""
+    import pytest
+    L = _small_layout()
+    rcfg = _ocean_rcfg()
+    T = 600
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=23)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    hm = train_hybrid(L, rcfg, gv, None, seed=9)
+    om = train_ocean(L, rcfg, gv, seed=6)
+    x = hm.synchronize(gv[-20:])
+    s = L.gv_sizes
+    last = gv[-1]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+    sst_last = last[s["sst"][0]:s["sst"][1]].reshape(L.il, L.ix)
+
+    class _R(HybridRunner):
+        def _sst_tisr(self, date):
+            return sst_last.copy(), np.zeros((L.il, L.ix))
+
+    runner = _R(hm, None, clim=object(), dy=object())
+    from speedyml.core.calendar import ModelDate
+    with pytest.raises(AssertionError, match="mutually"):
+        runner.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0),
+                   n_steps=2, ocean=om, sst_fn=lambda d: sst_last)
+
+
+def test_compose_sst_preserves_ice_blended_boundary():
+    """REGRESSION (r3 coupled abort): the boundary field fed to compose_sst
+    is the ICE-BLENDED sst_am (sst + sice*(tice - sst), cpl_sea.f90:38-44 /
+    cpl_sea_model.f90), which legitimately reaches ~237 K over sea ice.
+    An earlier round floored it at the open-water freezing point (271 K),
+    jumping polar SST +34 K at the first ocean step and destabilizing the
+    coupled run. Pin that (a) compose_sst leaves a ~237 K climatology
+    untouched outside active regions, and (b) a week of anomaly-persistence
+    feedback through HybridRunner keeps riding the cold climatology."""
+    L = _small_layout()
+    rcfg = _ocean_rcfg()
+    T = 600
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=31)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    om = train_ocean(L, rcfg, gv, seed=7)
+
+    # polar-like ice-blended climatology: deep cold rows + open water
+    clim = np.full((L.il, L.ix), 290.0)
+    clim[:2] = 237.0                       # ice-blended sea-ice rows
+    frozen = ~om.active
+    if frozen.any():
+        # (a) inactive regions pass through bit-exactly — no 271 K floor
+        grid = om.compose_sst(np.zeros((om.ol.R, om.ol.n_out)), clim, L)
+        ncore = L.resy * L.resx
+        g_ss0 = L.gv_sizes["sst"][0]
+        tgt = om.ol.target_index[:, :ncore] - g_ss0
+        passthrough = grid.reshape(-1)[tgt[frozen].reshape(-1)]
+        np.testing.assert_array_equal(
+            passthrough, clim.reshape(-1)[tgt[frozen].reshape(-1)])
+    # active predictions near clim stay gated near clim, never floored up
+    pred = np.full((om.ol.R, om.ol.n_out), 238.0)
+    grid = om.compose_sst(pred, clim, L)
+    assert grid.min() < 271.0, "cold ice-blended SST must survive"
+    assert np.all(grid >= 200.0) and np.all(grid <= 306.0)
+    assert np.all(np.abs(grid - clim) <= rcfg.slab_anom_clip + 1e-9)
+
+    # (b) one week of feedback through the runner on the cold climatology
+    hm = train_hybrid(L, rcfg, gv, None, seed=9)
+    x = hm.synchronize(gv[-20:])
+    s = L.gv_sizes
+    last = gv[-1]
+    atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
+    logp0 = last[s["logp"][0]:s["logp"][1]].reshape(L.il, L.ix)
+    pr0 = last[s["precip"][0]:s["precip"][1]].reshape(L.il, L.ix)
+
+    class _R(HybridRunner):
+        def _sst_tisr(self, date):
+            return clim.copy(), np.zeros((L.il, L.ix))
+
+    runner = _R(hm, None, clim=object(), dy=object())
+    from speedyml.core.calendar import ModelDate
+    out = runner.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0),
+                     n_steps=9, ocean=om,
+                     sst_anom0=np.zeros_like(clim))
+    # across the week boundary the fed-back SST stays anomaly-bounded
+    # around the COLD climatology: the ice rows never jump to >= 271 K
+    for k in range(9):
+        assert np.all(np.abs(out["sst"][k] - clim)
+                      <= rcfg.slab_anom_clip + 1e-6), k
+    assert out["sst"][:, :2].max() <= 237.0 + rcfg.slab_anom_clip + 1e-6
