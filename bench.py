@@ -128,7 +128,7 @@ def _random_hm(L, rcfg, m=6000, deg=6):
 _CACHE = {}
 
 
-def _speedy_and_hm(grid_compute="float32"):
+def _speedy_and_hm(grid_compute="float32", force_random=False):
     """Build (speedy, hm, gs0): trained weights when available."""
     import jax
 
@@ -143,11 +143,12 @@ def _speedy_and_hm(grid_compute="float32"):
     sp.run_days(2)                       # non-trivial state
     gs0 = jax.tree.map(jax.numpy.asarray, extract(sp.dy, sp.state, level=0))
 
-    if "hm" not in _CACHE:
+    key = "hm_random" if force_random else "hm"
+    if key not in _CACHE:
         radang_deg = np.degrees(np.asarray(sp.dy.tables.radang))
         trained = False
         hm = None
-        if os.path.exists(WEIGHTS_PATH):
+        if not force_random and os.path.exists(WEIGHTS_PATH):
             try:
                 from speedyml.io.weights import load_model
                 hm = load_model(WEIGHTS_PATH, radang_deg=radang_deg)
@@ -158,12 +159,13 @@ def _speedy_and_hm(grid_compute="float32"):
         if hm is None or hm.ml_only:
             L = build_layout(radang_deg=radang_deg)
             hm = _random_hm(L, ReservoirConfig())
-        _CACHE["hm"] = (hm, trained)
-    return sp, _CACHE["hm"][0], _CACHE["hm"][1], gs0
+        _CACHE[key] = (hm, trained)
+    return sp, _CACHE[key][0], _CACHE[key][1], gs0
 
 
 def bench_hybrid_step(n_steps=16, grid_compute="float32",
-                      wout_dtype="float32"):
+                      wout_dtype="float32", force_random=False,
+                      r2_program=False):
     """Full hybrid step, single trajectory (the reference's operating mode,
     parallelmain.f90:206-273): window + pack + standardize + ESN + scatter,
     with live precip feedback into the next step's supervector."""
@@ -177,10 +179,20 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
     from speedyml.hybrid.state_io import GridState
     from speedyml.reservoir.esn import predict_step
 
-    sp, hm, trained, gs0 = _speedy_and_hm(grid_compute)
+    sp, hm, trained, gs0 = _speedy_and_hm(grid_compute, force_random)
     L = hm.layout
     cfg = sp.config
     params = hm.params
+    stz = hm.stz
+    if r2_program:
+        # the r2 bench variant (regression attribution): identity stats +
+        # zero precip input every step (no live feedback)
+        import jax.numpy as _jnp
+        from speedyml.domain.standardize import Standardizer as _Stz
+        stz = _Stz(in_mean=_jnp.zeros((L.R, L.n_in), _jnp.float32),
+                   in_std=_jnp.ones((L.R, L.n_in), _jnp.float32),
+                   out_mean=_jnp.zeros((L.R, L.n_out), _jnp.float32),
+                   out_std=_jnp.ones((L.R, L.n_out), _jnp.float32))
     if wout_dtype != "float32":
         from speedyml.reservoir.esn import cast_wout
         params = cast_wout(params, jnp.dtype(wout_dtype))
@@ -215,12 +227,14 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
     x = jnp.zeros((L.R, params.win.shape[1]), jnp.float32)
     pr_t = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
 
-    x, gs, pr_t = hybrid_step(params, hm.stz, x, gs0, pr_t, surf, forcing,
+    zero_pr = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
+    x, gs, pr_t = hybrid_step(params, stz, x, gs0, pr_t, surf, forcing,
                               sst, tisr)
     _sync(gs.t)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        x, gs, pr_t = hybrid_step(params, hm.stz, x, gs, pr_t, surf,
+        x, gs, pr_t = hybrid_step(params, stz, x, gs,
+                                  zero_pr if r2_program else pr_t, surf,
                                   forcing, sst, tisr)
     _sync(gs.t)
     dt = time.perf_counter() - t0
@@ -228,10 +242,13 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
     return n_steps * gp / dt, dt / n_steps, trained
 
 
-def bench_hybrid_ensemble(ens_list=(16, 32), n_steps=4,
+def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96), n_steps=4,
                           grid_compute="bfloat16"):
     """Ensemble-batched hybrid step (hybrid/ensemble.py): the full step
-    vmapped over E members; value = E * gridpoints * steps / s."""
+    vmapped over E members; value = E * gridpoints * steps / s.
+    Sweeps E until HBM runs out (the x_e state alone is E*1152*5760 f32 =
+    26.5 MB/member; E=128 plus the 3.7 GB wout exceeds the 16 GB chip) and
+    reports the full sweep for saturation analysis."""
     import jax.numpy as jnp
 
     from speedyml.hybrid.ensemble import EnsembleHybrid
@@ -248,30 +265,66 @@ def bench_hybrid_ensemble(ens_list=(16, 32), n_steps=4,
     rng = np.random.default_rng(1)
 
     best, best_E = 0.0, 0
+    sweep = {}
     for E in ens_list:
-        atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
-                         np.asarray(gs0.v),
-                         np.maximum(np.asarray(gs0.q), 1e-6)])
-        atmo_e = (atmo[None] + 0.01 * rng.normal(
-            size=(E,) + atmo.shape)).astype(np.float32)
-        logp_e = np.broadcast_to(np.asarray(gs0.logp), (E,) + gs0.logp.shape
-                                 ).astype(np.float32).copy()
-        pr_e = np.zeros_like(logp_e)
-        x_e = jnp.zeros((E, hm.layout.R, hm.params.win.shape[1]),
-                        jnp.float32)
-        out = eh.step(x_e, atmo_e, logp_e, pr_e, sst, tisr, surf, forcing)
-        _sync(out[1])
-        t0 = time.perf_counter()
-        x_e, a_e, l_e, p_e = out[0], out[1], out[2], out[3]
-        for _ in range(n_steps):
-            x_e, a_e, l_e, p_e, _safe = eh.step(x_e, a_e, l_e, p_e, sst,
-                                                tisr, surf, forcing)
-        _sync(a_e)
-        dt = time.perf_counter() - t0
+        try:
+            atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                             np.asarray(gs0.v),
+                             np.maximum(np.asarray(gs0.q), 1e-6)])
+            atmo_e = (atmo[None] + 0.01 * rng.normal(
+                size=(E,) + atmo.shape)).astype(np.float32)
+            logp_e = np.broadcast_to(np.asarray(gs0.logp),
+                                     (E,) + gs0.logp.shape
+                                     ).astype(np.float32).copy()
+            pr_e = np.zeros_like(logp_e)
+            x_e = jnp.zeros((E, hm.layout.R, hm.params.win.shape[1]),
+                            jnp.float32)
+            out = eh.step(x_e, atmo_e, logp_e, pr_e, sst, tisr, surf,
+                          forcing)
+            _sync(out[1])
+            t0 = time.perf_counter()
+            x_e, a_e, l_e, p_e = out[0], out[1], out[2], out[3]
+            for _ in range(n_steps):
+                x_e, a_e, l_e, p_e, _safe = eh.step(x_e, a_e, l_e, p_e, sst,
+                                                    tisr, surf, forcing)
+            _sync(a_e)
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"# ensemble E={E} failed ({type(e).__name__}); "
+                  f"sweep stops", file=sys.stderr)
+            break
         gps = E * n_steps * gp / dt
+        sweep[str(E)] = round(gps, 1)
         if gps > best:
             best, best_E = gps, E
-    return best, best_E
+    return best, best_E, sweep
+
+
+def bench_fastloop(n_chunks=3, chunk=28):
+    """Production chunked prediction loop (hybrid.fastloop): seconds per
+    hybrid step of a full-physics K-step scanned chunk, steady state
+    (first chunk = compile, excluded). This is the number that describes
+    the workload users actually run (VERDICT r3: the per-step loop paid
+    13.3 s/step in host round trips)."""
+    from speedyml.core.calendar import ModelDate
+    from speedyml.hybrid.fastloop import ScanHybridRunner
+
+    sp, hm, trained, gs0 = _speedy_and_hm("float32")
+    r = ScanHybridRunner(hm, sp, physics=True, chunk=chunk)
+    import jax.numpy as jnp
+    atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                     np.asarray(gs0.v),
+                     np.maximum(np.asarray(gs0.q), 1e-6)]).astype(np.float32)
+    logp = np.asarray(gs0.logp, np.float32)
+    x0 = jnp.zeros((hm.layout.R, hm.params.win.shape[1]), jnp.float32)
+    date0 = ModelDate(1982, 1, 3, 0)
+    # compile + 1 chunk
+    r.run(x0, atmo, logp, None, date0, chunk)
+    t0 = time.perf_counter()
+    out = r.run(x0, atmo, logp, None, date0, n_chunks * chunk)
+    dt = time.perf_counter() - t0
+    steps = len(out["atmo"]) if out["atmo"] is not None else n_chunks * chunk
+    return dt / max(steps, 1), bool(out["aborted"])
 
 
 _TRAIN_BLOCK_SRC = r"""
@@ -349,9 +402,26 @@ def main():
     if hybw > hybrid_gps:
         hybrid_gps, out["hybrid_mode"] = hybw, "bfloat16-wout"
 
-    ens_gps, ens_E = bench_hybrid_ensemble()
+    if trained:
+        # regression attribution (VERDICT r3): same program with random
+        # weights isolates weight-content/layout effects; the r2-style
+        # program (identity stats + zero precip) isolates the program
+        # change between the r2 and r3 measurements
+        _, step_rand, _ = bench_hybrid_step(force_random=True)
+        out["hybrid_ms_per_step_random_weights"] = round(step_rand * 1e3, 2)
+        _, step_r2, _ = bench_hybrid_step(force_random=True,
+                                          r2_program=True)
+        out["hybrid_ms_per_step_r2_program"] = round(step_r2 * 1e3, 2)
+        _CACHE.pop("hm_random", None)     # release 3.7 GB of HBM
+
+    fl_s, fl_aborted = bench_fastloop()
+    out["fastloop_s_per_step"] = round(fl_s, 3)
+    out["fastloop_aborted"] = fl_aborted
+
+    ens_gps, ens_E, ens_sweep = bench_hybrid_ensemble()
     out["hybrid_ensemble_gps"] = round(ens_gps, 1)
     out["hybrid_ensemble_E"] = ens_E
+    out["hybrid_ensemble_sweep"] = ens_sweep
 
     dry_f32, ens32 = bench_dry_core(grid_compute="float32")
     dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")

@@ -40,7 +40,13 @@ def main():
                     help="forecast NetCDF output path")
     ap.add_argument("--grads", default="",
                     help="base path: also write GrADS .grd/.ctl output")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (avoids contending with a "
+                         "TPU job on the shared tunnel chip)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     from speedyml.core.config import ModelConfig, ReservoirConfig

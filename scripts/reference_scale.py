@@ -322,22 +322,29 @@ def phase_coupled(args):
                         solver="device" if not args.cpu else "host",
                         checkpoint_dir=(args.cache + ".ocean_ckpt"
                                         if args.train_ckpt else None))
-    # pointwise 3-sigma anomaly gate for the SST feedback (see
-    # OceanModel.compose_sst): keeps fed-back SST inside the atmosphere
-    # reservoirs' training input distribution
-    ocean.anom_std = np.maximum(truth.sst[:n_train], 272.0).std(axis=0)
-    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active")
+    # calibrate the pointwise anomaly gate from the model's OPEN-LOOP
+    # one-week residuals (see OceanModel.calibrate_gate): the fed-back SST
+    # may deviate from climatology only up to 3x the demonstrated skill
+    _, ol_rms, p_rms = ocean.calibrate_gate(gv_truth[:n_train], L)
+    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active; "
+        f"open-loop weekly SST RMS {ol_rms:.3f} K "
+        f"(persistence {p_rms:.3f} K); gate = 3x pointwise residual std "
+        f"(max {float(np.nanmax(ocean.anom_std)):.2f} K)")
     if args.ocean_train_only:
         log("ocean training blocks persisted; rerun without "
             "--ocean-train-only for the coupled run")
         print("OCEAN TRAIN OK")
         return
-    spw = ocean.steps_per_week
-    gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
-    x_ocean = ocean.synchronize(gv_w)
-
-    n_sync = rcfg.synclength // rcfg.timestep
-    x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
+    ckpt = args.out + ".ckpt.npz"
+    resume = args.fast_loop and args.resume and os.path.exists(ckpt)
+    if resume:
+        x = x_ocean = None       # checkpoint supplies the reservoir states
+    else:
+        spw = ocean.steps_per_week
+        gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
+        x_ocean = ocean.synchronize(gv_w)
+        n_sync = rcfg.synclength // rcfg.timestep
+        x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
     s = L.gv_sizes
     last = gv_truth[n_train - 1]
     atmo0 = last[s["atmo3d"][0]:s["atmo3d"][1]].reshape(4, L.kx, L.il, L.ix)
@@ -346,18 +353,40 @@ def phase_coupled(args):
     y, m, d, h = datetime_from_hours(int(truth.hours[n_train - 1]))
     date0 = ModelDate(y, m, d, h)
 
-    fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
-    hrun = HybridRunner(hm, fc_speedy)
-    writer = ForecastWriter(args.out, cfg.kx, cfg.il, cfg.ix,
+    t = time.time()
+    deadline = time.time() + args.max_wall if args.max_wall else None
+    nc_path = args.out if not resume else args.out + ".resume.nc"
+    writer = ForecastWriter(nc_path, cfg.kx, cfg.il, cfg.ix,
                             sigma=np.asarray(sp.dy.vg.fsg), lat=radang_deg,
                             lon=np.arange(cfg.ix) * 360.0 / cfg.ix,
                             with_sst=True)
-    t = time.time()
-    deadline = time.time() + args.max_wall if args.max_wall else None
-    out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
-                   ocean=ocean, x_ocean=x_ocean, writer=writer,
-                   checkpoint_path=args.out + ".ckpt.npz",
-                   checkpoint_every=112, verbose=28, deadline=deadline)
+    if args.fast_loop:
+        from speedyml.hybrid.fastloop import ScanHybridRunner
+        hrun = ScanHybridRunner(hm, sp, physics=True)
+        if resume:
+            from speedyml.io.checkpoint import load_prediction
+            st = load_prediction(ckpt)
+            ex = st["extra"] or {}
+            log(f"resuming from step {st['step']}")
+            out = hrun.run(jnp.asarray(st["x"]), st["atmo"], st["logp"],
+                           st["precip_t"], st["date"],
+                           args.fc_steps - st["step"], ocean=ocean,
+                           x_ocean=ex.get("x_ocean"),
+                           sst_anom0=ex.get("sst_anom"), writer=writer,
+                           checkpoint_path=ckpt, checkpoint_every=112,
+                           verbose=112, deadline=deadline)
+        else:
+            out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
+                           ocean=ocean, x_ocean=x_ocean, writer=writer,
+                           checkpoint_path=ckpt, checkpoint_every=112,
+                           verbose=112, deadline=deadline)
+    else:
+        fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
+        hrun = HybridRunner(hm, fc_speedy)
+        out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
+                       ocean=ocean, x_ocean=x_ocean, writer=writer,
+                       checkpoint_path=ckpt,
+                       checkpoint_every=112, verbose=28, deadline=deadline)
     writer.close()
     dt = time.time() - t
     a = out["atmo"]
@@ -368,6 +397,9 @@ def phase_coupled(args):
     sstt = out["sst"]
     res = {"steps": int(nsteps), "sim_days": nsteps / 4,
            "wall_s": round(dt, 1), "aborted": bool(out["aborted"]),
+           "loop": "fast" if args.fast_loop else "perstep",
+           "resumed": bool(resume),
+           "s_per_step": round(dt / max(nsteps, 1), 3),
            "peak_rss_gb": round(peak_rss_gb(), 1),
            "T_range": [float(a[:, 0].min()), float(a[:, 0].max())],
            "u_range": [float(a[:, 1].min()), float(a[:, 1].max())],
@@ -433,6 +465,14 @@ def main():
     ap.add_argument("--ocean-train-only", action="store_true",
                     help="coupled phase: train+checkpoint the ocean "
                          "reservoir (x64), then exit")
+    ap.add_argument("--fast-loop", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="coupled phase: chunked device-resident loop "
+                         "(hybrid.fastloop) instead of the per-step runner")
+    ap.add_argument("--resume", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="coupled phase: resume from the run checkpoint "
+                         "when present")
     ap.add_argument("--max-wall", type=int, default=0,
                     help="coupled phase: stop the step loop cleanly after "
                          "this many seconds (0 = no limit)")

@@ -311,6 +311,8 @@ class ScanHybridRunner:
                                   sst=traj["sst"][-1][j])
 
         steps_done = 0
+        t_run0 = _time.time()
+        t_prev = t_run0
         for ci in range(n_chunks):
             xs = self._precompute(date, K)
             res = self._fn(hm.params, hm.stz, idx, tidx, x, atmo, logp, pr,
@@ -354,9 +356,13 @@ class ScanHybridRunner:
                                 np.asarray(pr), date,
                                 step=(ci + 1) * K, extra=extra)
             if verbose and ((ci + 1) * K) % verbose < K:
+                now = _time.time()
                 print(f"  fast-loop chunk {ci+1}/{n_chunks} "
-                      f"({steps_done} steps) "
+                      f"({steps_done} steps, "
+                      f"{(now - t_prev):.1f}s since last print, "
+                      f"{(now - t_run0)/steps_done:.2f}s/step avg) "
                       f"[{_time.strftime('%H:%M:%S')}]", flush=True)
+                t_prev = now
             if deadline is not None and _time.time() > deadline:
                 break
         if pending is not None and fetch_traj:

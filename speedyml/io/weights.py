@@ -156,20 +156,25 @@ def ell_to_coo(a_idx: np.ndarray, a_val: np.ndarray):
 
 def coo_to_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int,
                deg: Optional[int] = None):
-    """1-based COO -> fixed-degree ELL (pad with zero-valued self entries)."""
+    """1-based COO -> fixed-degree ELL (pad with zero-valued self entries).
+    Vectorized: slot = rank within row after a stable row sort (a Python
+    per-entry loop is ~40M iterations over a full 1152-region import)."""
     rows0 = np.asarray(rows, np.int64) - 1
     cols0 = np.asarray(cols, np.int64) - 1
     counts = np.bincount(rows0, minlength=n)
     d = int(counts.max()) if deg is None else max(deg, int(counts.max()))
     a_idx = np.zeros((n, d), np.int32)
     a_val = np.zeros((n, d), np.float32)
-    slot = np.zeros(n, np.int64)
     order = np.argsort(rows0, kind="stable")
-    for k in order:
-        r = rows0[k]
-        a_idx[r, slot[r]] = cols0[k]
-        a_val[r, slot[r]] = vals[k]
-        slot[r] += 1
+    r_sorted = rows0[order]
+    starts = np.zeros(len(r_sorted), np.int64)
+    if len(r_sorted):
+        first = np.r_[0, np.flatnonzero(np.diff(r_sorted)) + 1]
+        starts[first] = first
+        starts = np.maximum.accumulate(starts)
+    slot = np.arange(len(r_sorted)) - starts
+    a_idx[r_sorted, slot] = cols0[order]
+    a_val[r_sorted, slot] = np.asarray(vals)[order]
     return a_idx, a_val
 
 
@@ -311,9 +316,11 @@ def _stats_from_reference_order(layout, means, stds):
 
 
 def import_worker_files(dirpath: str, layout, rcfg, trial_name: str = "trial",
-                        level_index: int = 1, ml_only: bool = False):
+                        level_index: int = 1, ml_only: bool = False,
+                        regions=None):
     """Read reference-schema per-worker files into a batched HybridModel
-    (read_trained_res, mod_io.f90:2938-2983)."""
+    (read_trained_res, mod_io.f90:2938-2983). regions: optional region-id
+    subset (the batched model then covers only those rows)."""
     import jax.numpy as jnp
 
     from ..hybrid.experiment import HybridModel
@@ -322,7 +329,7 @@ def import_worker_files(dirpath: str, layout, rcfg, trial_name: str = "trial",
     L = layout
     idxs, vals_l, wins, wouts, means, stds = [], [], [], [], [], []
     deg = None
-    for r in range(L.R):
+    for r in (range(L.R) if regions is None else regions):
         fn = os.path.join(
             dirpath, f"worker_{r:04d}_level_{level_index}_{trial_name}.nc")
         f = netcdf_file(fn, "r", mmap=False)

@@ -111,16 +111,26 @@ class ComposedHybridStep:
 
         def step(params, stz, idx, tidx, x, atmo, logp, precip_t, sst,
                  tisr, surf, forcing):
+            # pin the full-grid tensors REPLICATED: their two consumers want
+            # different shardings (the shard_map window lat-shards them — a
+            # local slice from replicated; the pack_global flatten feeds the
+            # replicated supervector). Leaving them unannotated lets GSPMD
+            # back-propagate the window's lat sharding onto the parameter
+            # while the flatten derives a contiguous (4,2)-split, and the
+            # partitioner bridges the two with an "involuntary full
+            # rematerialization" (replicate-then-repartition) round trip.
+            wsc = jax.lax.with_sharding_constraint
+            atmo = wsc(atmo, rep)
+            logp = wsc(logp, rep)
             ss = jnp.maximum(jnp.asarray(sst, jnp.float32), SST_MIN)
             ti = jnp.maximum(jnp.asarray(tisr, jnp.float32), 0.0)
-            gv = jax.lax.with_sharding_constraint(
-                pack_global(L, atmo, logp, precip_t, ss, ti), rep)
+            gv = wsc(pack_global(L, atmo, logp, precip_t, ss, ti), rep)
 
             gs = GridState(t=atmo[0], u=atmo[1], v=atmo[2],
                            q=jnp.maximum(atmo[3], 0.0), logp=logp)
             fgs, fpr, safe = window(gs, surf, forcing)
-            f_atmo = jnp.stack([fgs.t, fgs.u, fgs.v,
-                                jnp.maximum(fgs.q, QMIN)])
+            f_atmo = wsc(jnp.stack([fgs.t, fgs.u, fgs.v,
+                                    jnp.maximum(fgs.q, QMIN)]), rep)
             f_pr = jnp.log1p(jnp.maximum(fpr, 0.0) / eps)
             # one explicit all-gather point: the 0.65 MB supervector goes
             # replicated before the region-sharded input gather (the halo

@@ -177,11 +177,16 @@ class OceanModel:
     stz: Standardizer
     active: np.ndarray        # (R,) bool: sst variance above threshold
     rcfg: ReservoirConfig
-    # optional (il, ix) per-gridpoint training-SST std: when set, the
-    # compose_sst anomaly gate tightens to 3 sigma pointwise so the fed-back
-    # SST stays inside the ATMO reservoirs' standardized input distribution
-    # (self-generated truth has near-climatological SST with tiny tropical
-    # variance, where even a 2 K anomaly is many sigma out of distribution)
+    # optional (il, ix) per-gridpoint anomaly-gate scale: compose_sst
+    # tightens the clip to 3x this value pointwise. Set it to the model's
+    # OPEN-LOOP one-week residual std (calibrate_gate) — "trust the ocean
+    # prediction only up to its demonstrated skill". The r4 coupled smoke
+    # showed why total training-SST std is the WRONG scale: it is dominated
+    # by the seasonal cycle, so the 3-sigma gate admitted ~2.6 K warm-pool
+    # anomalies that the atmosphere reservoirs (trained on icsea=0
+    # climatological SST with ~zero deseasonalized variance) had never
+    # seen, and tropical convection blew up within a week of the first
+    # feedback application.
     anom_std: Optional[np.ndarray] = None
     _step_fn: Optional[callable] = None
     _sync_fn: Optional[callable] = None
@@ -223,6 +228,64 @@ class OceanModel:
             x = jnp.zeros((self.ol.R, self.params.n), jnp.float32)
         return self._sync_fn(self.params, self.stz, self._maps(), x,
                              jnp.asarray(gv_weekly, jnp.float32))
+
+    def open_loop(self, gv_weekly: np.ndarray, x=None):
+        """Teacher-forced one-week-ahead predictions over a weekly input
+        series: ONE scanned program returning (T_w, R, n_out) physical
+        outputs (prediction at index t is valid at week t+1's end)."""
+        from .esn import advance, readout
+
+        if x is None:
+            x = jnp.zeros((self.ol.R, self.params.n), jnp.float32)
+        idx = self._maps()
+
+        def run(params, stz, x, gv_series):
+            u = (gv_series[:, idx] - stz.in_mean) / stz.in_std
+
+            def body(x, u_t):
+                x = advance(params, x, u_t)
+                return x, readout(params, x)
+
+            x, outs = jax.lax.scan(body, x, u)
+            return x, outs * stz.out_std + stz.out_mean
+
+        if not hasattr(self, "_ol_fn") or self._ol_fn is None:
+            self._ol_fn = jax.jit(run)
+        return self._ol_fn(self.params, self.stz, x,
+                           jnp.asarray(gv_weekly, jnp.float32))
+
+    def calibrate_gate(self, gv_truth: np.ndarray, L: RegionLayout,
+                      discard: int = 8):
+        """Set the compose_sst anomaly gate from OPEN-LOOP residuals.
+
+        Runs teacher-forced one-week-ahead predictions over the training
+        series and stores the per-gridpoint residual std (floored at the
+        weekly persistence error scale) as anom_std. The fed-back anomaly
+        is then clipped to 3x the model's demonstrated skill — the analog
+        of the reference's 6 K acceptance gate (cpl_sea.f90:38-44)
+        recalibrated to the training regime's actual variance.
+        Returns (residual_std_grid, open_loop_rms, persistence_rms)."""
+        spw = self.steps_per_week
+        gv_w = weekly_ocean_inputs(gv_truth, spw, L)
+        Tw = gv_w.shape[0]
+        ends = np.arange(1, Tw + 1) * spw - 1
+        truth = gv_truth[ends][:, self.ol.target_index]     # (Tw, R, n_out)
+        _, pred = self.open_loop(gv_w[:-1])
+        pred = np.asarray(pred)                             # valid at t+1
+        resid = pred[discard:] - truth[discard + 1:]
+        ncore = L.resy * L.resx
+        resid_sst = resid[:, :, :ncore]                     # (T', R, ncore)
+        per_pt = resid_sst.std(axis=0)                      # (R, ncore)
+        pers = truth[discard + 1:, :, :ncore] - truth[discard:-1, :, :ncore]
+
+        grid = np.zeros((L.il, L.ix))
+        g_ss0 = L.gv_sizes["sst"][0]
+        tgt = self.ol.target_index[:, :ncore] - g_ss0
+        grid.reshape(-1)[tgt.reshape(-1)] = per_pt.reshape(-1)
+        self.anom_std = grid
+        ol_rms = float(np.sqrt((resid_sst[:, self.active] ** 2).mean()))
+        p_rms = float(np.sqrt((pers[:, self.active] ** 2).mean()))
+        return grid, ol_rms, p_rms
 
     def compose_sst(self, sst_pred_core, sst_clim: np.ndarray,
                     layout: RegionLayout):

@@ -145,7 +145,12 @@ def test_ensemble_step_matches_per_member(setup):
                                    atol=1e-4)
 
 
-def test_composed_full_physics_executes(setup):
+def test_composed_full_physics_matches_single_device(setup):
+    """Full-physics composed step vs the single-device composition,
+    NUMERICALLY (VERDICT r3 item 7): with the f64 window model the
+    discrete convection/condensation triggers only flip at f64 rounding
+    scale, so the sharded program must track the reference composition to
+    f32 output rounding."""
     sp, hm, atmo, logp, pr_t, sst, tisr, x0 = setup
     mesh = Mesh(np.array(jax.devices()[:8]), ("mp",))
     comp = ComposedHybridStep(hm, sp, mesh, physics=True)
@@ -158,3 +163,10 @@ def test_composed_full_physics_executes(setup):
     assert float(jnp.min(pc)) >= 0.0
     # region sharding survived the program
     assert "mp" in str(xc.sharding)
+    xr, ar, lr, pr, safe_r = _single_device_step(
+        sp, hm, atmo, logp, pr_t, sst, tisr, x0, physics=True)
+    assert safe_r
+    np.testing.assert_allclose(np.asarray(ac), ar, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lc), lr, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pc), pr, rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xc), xr, rtol=2e-3, atol=1e-3)

@@ -142,6 +142,40 @@ def test_ocean_with_ohtc():
     assert grid.shape == (L.il, L.ix)
 
 
+def test_calibrate_gate_open_loop():
+    """calibrate_gate sets the anomaly gate to the OPEN-LOOP residual scale
+    and compose_sst then clips predictions to 3x demonstrated skill."""
+    L = _small_layout()
+    rcfg = _ocean_rcfg()
+    T = 800
+    atmo, logp, precip, sst, tisr = _synthetic_truth(L, T, seed=21)
+    gv = transform_and_pack(L, atmo, logp, precip, sst, tisr,
+                            rcfg.precip_epsilon)
+    om = train_ocean(L, rcfg, gv, seed=5)
+    grid, ol_rms, p_rms = om.calibrate_gate(gv, L)
+    assert grid.shape == (L.il, L.ix)
+    assert np.all(grid >= 0.0) and np.isfinite(grid).all()
+    # the trained model has skill on the synthetic wave: residuals well
+    # below the 3 K wave amplitude
+    assert 0.0 < ol_rms < 2.0, ol_rms
+    # open_loop predictions must agree with stepwise step() calls
+    spw = om.steps_per_week
+    gv_w = weekly_ocean_inputs(gv, spw, L)
+    x = jnp.zeros((om.ol.R, om.params.n), jnp.float32)
+    _, outs = om.open_loop(gv_w[:5])
+    x2 = jnp.zeros((om.ol.R, om.params.n), jnp.float32)
+    for t in range(5):
+        x2, o = om.step(x2, gv_w[t])
+    np.testing.assert_allclose(np.asarray(outs[4]), np.asarray(o),
+                               rtol=1e-5, atol=1e-5)
+    # gated composition: deviations bounded by 3*sigma_resid pointwise
+    clim = np.full((L.il, L.ix), 290.0)
+    pred = np.full((om.ol.R, om.ol.n_out), 296.0)   # +6 K everywhere
+    out = om.compose_sst(pred, clim, L)
+    lim = np.minimum(rcfg.slab_anom_clip, np.maximum(3.0 * grid, 0.05))
+    assert np.all(np.abs(out - clim) <= lim + 1e-9)
+
+
 def test_runner_with_ocean():
     """HybridRunner steps the ocean reservoir every steps_per_week and the
     SST feedback changes after the first week boundary."""
