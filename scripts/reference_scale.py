@@ -210,11 +210,19 @@ def _sync_predict_score(args, hm, sp, truth, gv_truth, n_train, timings,
     y, m, d, h = datetime_from_hours(int(truth.hours[n_train - 1]))
     date0 = ModelDate(y, m, d, h)
 
-    fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
-    hrun = HybridRunner(hm, fc_speedy)
     n_fc = min(args.fc_steps, args.holdout)
     t = time.time()
-    out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc, verbose=10)
+    if getattr(args, "fast_loop", False):
+        from speedyml.hybrid.fastloop import ScanHybridRunner
+        chunk = n_fc if n_fc <= 32 else 31
+        # sp is needed even for ml_only (climatology/solar boundary fields)
+        hrun = ScanHybridRunner(hm, sp, chunk=chunk)
+        n_fc = (n_fc // chunk) * chunk
+        out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc, verbose=chunk)
+    else:
+        fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
+        hrun = HybridRunner(hm, fc_speedy)
+        out = hrun.run(x, atmo0, logp0, pr0, date0, n_fc, verbose=10)
     timings["predict_s"] = time.time() - t
     log(f"prediction: {n_fc} steps in {timings['predict_s']:.0f}s, "
         f"aborted={out['aborted']}")
@@ -310,31 +318,38 @@ def phase_coupled(args):
     gv_truth = transform_and_pack(L, truth.atmo, truth.logp, truth.precip,
                                   truth.sst, truth.tisr, rcfg.precip_epsilon)
 
-    # slab-ocean reservoir trained on the same cached series; modest size —
-    # weekly cadence gives only n_train/28 samples (the reference trains on
-    # decades; this is the machinery at the coupled operating point)
-    orcfg = ReservoirConfig(slab_nodes=args.ocean_m,
-                            slab_beta_res=args.ocean_beta,
-                            discardlength=rcfg.discardlength,
-                            timestep_slab=args.slab_hours)
-    ocean = train_ocean(L, orcfg, gv_truth[:n_train], seed=100,
-                        region_block=args.ocean_block,
-                        solver="device" if not args.cpu else "host",
-                        checkpoint_dir=(args.cache + ".ocean_ckpt"
-                                        if args.train_ckpt else None))
-    # calibrate the pointwise anomaly gate from the model's OPEN-LOOP
-    # one-week residuals (see OceanModel.calibrate_gate): the fed-back SST
-    # may deviate from climatology only up to 3x the demonstrated skill
-    _, ol_rms, p_rms = ocean.calibrate_gate(gv_truth[:n_train], L)
-    log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} active; "
-        f"open-loop weekly SST RMS {ol_rms:.3f} K "
-        f"(persistence {p_rms:.3f} K); gate = 3x pointwise residual std "
-        f"(max {float(np.nanmax(ocean.anom_std)):.2f} K)")
-    if args.ocean_train_only:
-        log("ocean training blocks persisted; rerun without "
-            "--ocean-train-only for the coupled run")
-        print("OCEAN TRAIN OK")
-        return
+    if args.hybrid_only:
+        # config-3 climate mode: the trained hybrid atmosphere free-runs on
+        # climatological SST — the >=90-day climate-validation workload
+        # (VERDICT r3 item 3); scored by scripts/score_run.py
+        ocean = None
+    else:
+        # slab-ocean reservoir trained on the same cached series; modest
+        # size — weekly cadence gives only n_train/28 samples (the
+        # reference trains on decades; this is the machinery at the
+        # coupled operating point)
+        orcfg = ReservoirConfig(slab_nodes=args.ocean_m,
+                                slab_beta_res=args.ocean_beta,
+                                discardlength=rcfg.discardlength,
+                                timestep_slab=args.slab_hours)
+        ocean = train_ocean(L, orcfg, gv_truth[:n_train], seed=100,
+                            region_block=args.ocean_block,
+                            solver="device" if not args.cpu else "host",
+                            checkpoint_dir=(args.cache + ".ocean_ckpt"
+                                            if args.train_ckpt else None))
+        # calibrate the pointwise anomaly gate from the model's OPEN-LOOP
+        # one-week residuals (see OceanModel.calibrate_gate): the fed-back
+        # SST may deviate from climatology only up to 3x demonstrated skill
+        _, ol_rms, p_rms = ocean.calibrate_gate(gv_truth[:n_train], L)
+        log(f"slab-ocean trained: {int(ocean.active.sum())}/{ocean.ol.R} "
+            f"active; open-loop weekly SST RMS {ol_rms:.3f} K "
+            f"(persistence {p_rms:.3f} K); gate = 3x pointwise residual "
+            f"std (max {float(np.nanmax(ocean.anom_std)):.2f} K)")
+        if args.ocean_train_only:
+            log("ocean training blocks persisted; rerun without "
+                "--ocean-train-only for the coupled run")
+            print("OCEAN TRAIN OK")
+            return
     ckpt = args.out + ".ckpt.npz"
     resume = args.fast_loop and args.resume and os.path.exists(ckpt)
     if resume:
@@ -462,6 +477,10 @@ def main():
                     help="ocean reservoir cadence in hours (reference: 168)")
     ap.add_argument("--ocean-block", type=int, default=64,
                     help="regions per ocean training block")
+    ap.add_argument("--hybrid-only", action="store_true",
+                    help="coupled phase: free-run the trained hybrid on "
+                         "climatological SST with NO interactive ocean "
+                         "(config-3 climate mode; score with score_run.py)")
     ap.add_argument("--ocean-train-only", action="store_true",
                     help="coupled phase: train+checkpoint the ocean "
                          "reservoir (x64), then exit")

@@ -30,7 +30,6 @@ def main():
 
     from scipy.io import netcdf_file
     from speedyml.utils.climate import climate_check, climate_scores
-    from speedyml.utils.analysis import nino34_index
 
     f = netcdf_file(args.nc, "r", mmap=True)
     lat = np.asarray(f.variables["Lat"][:], np.float64)
@@ -67,19 +66,27 @@ def main():
                ok=bool(ok), failures=failures)
 
     if "SST" in f.variables:
+        from speedyml.utils.analysis import box_mean
         S = f.variables["SST"]
         sst0 = np.asarray(S[0], np.float64)
         sst1 = np.asarray(S[n - 1], np.float64)
         nino = np.empty(n)
         for i in range(n):
-            nino[i] = nino34_index(np.asarray(S[i], np.float64)[None],
-                                   lat, lon)[0]
-        nino_anom = nino - nino.mean()
+            nino[i] = box_mean(np.asarray(S[i], np.float64), lat, lon,
+                               (-5.0, 5.0), (190.0, 240.0))
+        # variability after removing the (seasonal) 30-day running mean —
+        # with a single run year a monthly self-climatology would absorb
+        # the signal being measured
+        win = min(30 * spd, max(n // 4, 1))
+        kernel = np.ones(win) / win
+        seasonal = np.convolve(np.pad(nino, win // 2, mode="edge"), kernel,
+                               mode="valid")[:n]
+        anom = nino - seasonal
         out["sst"] = dict(
             drift_K=round(float(np.abs(sst1 - sst0).max()), 3),
             drift_mean_K=round(float((sst1 - sst0).mean()), 3),
             nino34_mean_K=round(float(nino.mean()), 2),
-            nino34_std_K=round(float(nino_anom.std()), 3),
+            nino34_subseasonal_std_K=round(float(anom.std()), 3),
             nino34_range_K=[round(float(nino.min()), 2),
                             round(float(nino.max()), 2)])
     print(json.dumps(out, indent=1))

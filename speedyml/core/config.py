@@ -108,6 +108,11 @@ class ReservoirConfig:
 
     # data transforms
     precip_epsilon: float = 0.001
+    # ceiling [mm per window] for the PREDICTED log-precip channel: the
+    # linear readout must not extrapolate the exp-stretched log1p(P/eps)
+    # channel beyond the training support (train_hybrid overwrites this
+    # with the actual max of the training series)
+    precip_cap_mm: float = 40.0
     ml_only: bool = False
     use_precip: bool = True
     use_tisr: bool = True

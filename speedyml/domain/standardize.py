@@ -24,6 +24,33 @@ class Standardizer(NamedTuple):
     out_std: jnp.ndarray    # (R, n_out)
 
 
+# Physical std floor for the CLAMPED SST input section [K]. The training
+# series clamps SST >= 272 K (the reference's unit fix), so fully ice-
+# covered input patches are EXACTLY constant and their std collapses to
+# the eps floor (measured 1e-8 over 125/1152 polar regions at reference
+# scale). A coupled run then turns a +0.05 K fed-back anomaly at a
+# marginal ice-edge point into a ~1e6-sigma standardized input, tanh
+# saturates the region's reservoir, and the readout explodes — the r4
+# step-28 coupled blow-up, identical in both loop implementations and
+# independent of the anomaly's magnitude. Flooring at a deep-seasonal
+# scale keeps such channels bounded (z <= anom/0.3) WITHOUT retraining:
+# the frozen regions' mean is exactly 272, so training inputs were
+# u = (272-272)/std = 0 under either std.
+SST_STD_FLOOR = 0.3
+
+
+def floor_sst_std(stz: Standardizer, layout) -> Standardizer:
+    """Apply SST_STD_FLOOR to the SST input section of a Standardizer
+    (idempotent; used on freshly computed stats and on weights loaded from
+    files persisted before the floor existed)."""
+    t0, t1 = layout.sizes["sst"]
+    if t1 <= t0:
+        return stz
+    in_std = np.array(stz.in_std)
+    in_std[:, t0:t1] = np.maximum(in_std[:, t0:t1], SST_STD_FLOOR)
+    return stz._replace(in_std=jnp.asarray(in_std, stz.in_std.dtype))
+
+
 def compute_stats(layout: RegionLayout, inputs: np.ndarray,
                   eps: float = 1e-8) -> Standardizer:
     """Compute per-(region, var, level) stats from a packed input series
@@ -54,6 +81,8 @@ def compute_stats(layout: RegionLayout, inputs: np.ndarray,
             sec = inputs[:, :, t0:t1]
             m2 = sec.mean(axis=(0, 2))
             sd2 = sec.std(axis=(0, 2)) + eps
+            if name == "sst":
+                sd2 = np.maximum(sd2, SST_STD_FLOOR)
             in_mean[:, t0:t1] = m2[:, None]
             in_std[:, t0:t1] = sd2[:, None]
 
@@ -132,6 +161,8 @@ def compute_stats_gv(layout: RegionLayout, gv: np.ndarray,
         n2 = T * (t1s - t0s)
         m2 = m1_2d[name] / n2
         sd2 = np.sqrt(np.maximum(m2_2d[name] / n2 - m2 * m2, 0.0)) + eps
+        if name == "sst":
+            sd2 = np.maximum(sd2, SST_STD_FLOOR)
         in_mean[:, t0s:t1s] = m2[:, None]
         in_std[:, t0s:t1s] = sd2[:, None]
 

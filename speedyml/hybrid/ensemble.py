@@ -70,10 +70,11 @@ class EnsembleHybrid:
             mv = standardize_out(stz, model_gv[tidx])
             x, out_std = predict_step(params, x, u, mv)
             out = unstandardize_out(stz, out_std)
+            from .experiment import clamp_precip_t
             atmo2, logp2, pr2 = scatter_outputs(L, out)
             atmo2 = atmo2.at[3].set(jnp.maximum(atmo2[3], QMIN))
             if pr2 is not None:
-                pr2 = jnp.maximum(pr2, 0.0)
+                pr2 = clamp_precip_t(pr2, eps, getattr(hm.rcfg, 'precip_cap_mm', 40.0))
             return x, atmo2, logp2, pr2, res.safe
 
         # members vary in (x, atmo, logp, precip_t); weights/boundary shared

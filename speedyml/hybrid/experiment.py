@@ -39,6 +39,20 @@ from .state_io import GridState
 
 QMIN = 1e-6     # q floor [g/kg] (reference training-data clamp)
 SST_MIN = 272.0
+# fallback precipitation ceiling [mm per window] for the PREDICTED
+# log-precip channel — the self-generated 4.4-year truth's instantaneous
+# max is 39.6 mm/6h. The linear readout extrapolates the exp-stretched
+# log1p(P/eps) channel past its training range (a +2x excursion in log
+# space is 1e8 mm of "rain"; observed in the r4 coupled year run), so
+# predictions are clamped to the TRAINING SUPPORT: train_hybrid records
+# the actual series max in rcfg.precip_cap_mm — the same class of sanity
+# clamp as the q floor (mpires.f90:456-462).
+PRECIP_MM_CAP = 40.0
+
+
+def clamp_precip_t(pr_t, eps, cap_mm: float = PRECIP_MM_CAP):
+    """Clamp the transformed log-precip channel to [0, log1p(cap/eps)]."""
+    return jnp.clip(pr_t, 0.0, jnp.log1p(cap_mm / eps))
 
 
 class TruthSeries(NamedTuple):
@@ -176,6 +190,9 @@ class HybridModel:
         L = self.layout
         ml_only = self.ml_only
 
+        eps = self.rcfg.precip_epsilon
+        cap = getattr(self.rcfg, "precip_cap_mm", PRECIP_MM_CAP)
+
         def step(params, stz, idx, tidx, x, gv, model_gv):
             u = standardize_in(stz, gv[idx])
             if ml_only:
@@ -188,7 +205,7 @@ class HybridModel:
             # physical sanity clamps (mpires.f90:456-462)
             atmo = atmo.at[3].set(jnp.maximum(atmo[3], QMIN))
             if precip_t is not None:
-                precip_t = jnp.maximum(precip_t, 0.0)
+                precip_t = clamp_precip_t(precip_t, eps, cap)
             return x, atmo, logp, precip_t
 
         return jax.jit(step)
@@ -202,6 +219,9 @@ class HybridModel:
         L = self.layout
         assert not self.ml_only, "component split needs the model block"
 
+        eps = self.rcfg.precip_epsilon
+        cap = getattr(self.rcfg, "precip_cap_mm", PRECIP_MM_CAP)
+
         def step(params, stz, idx, tidx, x, gv, model_gv):
             u = standardize_in(stz, gv[idx])
             model_vec = standardize_out(stz, model_gv[tidx])
@@ -211,7 +231,7 @@ class HybridModel:
             atmo, logp, precip_t = scatter_outputs(L, out)
             atmo = atmo.at[3].set(jnp.maximum(atmo[3], QMIN))
             if precip_t is not None:
-                precip_t = jnp.maximum(precip_t, 0.0)
+                precip_t = clamp_precip_t(precip_t, eps, cap)
             ml_phys = v_ml * stz.out_std
             p_phys = v_p * stz.out_std + stz.out_mean
             atmo_ml, logp_ml, _ = scatter_outputs(L, ml_phys)
@@ -295,6 +315,15 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     Tn = gv_truth.shape[0]
     discard = max(1, rcfg.discardlength // rcfg.timestep)
     assert Tn > discard + 2, "training series shorter than discard"
+
+    # record the training support of the precip channel: predictions are
+    # clamped to it (clamp_precip_t — the readout must not extrapolate the
+    # exp-stretched log-precip channel past anything it saw in training)
+    p0, p1 = layout.gv_sizes.get("precip", (0, 0))
+    if p1 > p0:
+        pmax = float(rcfg.precip_epsilon
+                     * np.expm1(float(gv_truth[:, p0:p1].max())))
+        rcfg = dataclasses.replace(rcfg, precip_cap_mm=max(pmax, 1.0))
 
     # stats from the packed truth inputs (per region/var/level), streamed —
     # the gathered (T, R, n_in) series is 43 GB at reference scale x 16k

@@ -45,7 +45,7 @@ from ..dynamics.core import Forcing
 from ..physics.constants import PP
 from ..physics.driver import SurfaceDailyState
 from ..reservoir.esn import predict_step
-from .experiment import QMIN, SST_MIN, invert_precip
+from .experiment import QMIN, SST_MIN, clamp_precip_t, invert_precip
 from .forecast import SpeedyForecaster
 from .state_io import GridState
 
@@ -169,6 +169,7 @@ class ScanHybridRunner:
         L = hm.layout
         ml_only = hm.ml_only
         eps = hm.rcfg.precip_epsilon
+        cap = getattr(hm.rcfg, "precip_cap_mm", 40.0)
         window = None if ml_only else self.fc._window_fn()
         if not ml_only:
             T = self.speedy.dy.T
@@ -235,7 +236,7 @@ class ScanHybridRunner:
             atmo2, logp2, pr2 = scatter_outputs(L, out)
             atmo2 = atmo2.at[3].set(jnp.maximum(atmo2[3], QMIN))
             if pr2 is not None:
-                pr2 = jnp.maximum(pr2, 0.0)
+                pr2 = clamp_precip_t(pr2, eps, cap)
             carry = (x, atmo2, logp2, pr2, gv_sum, gv)
             return carry, (atmo2, logp2, pr2, sst, safe)
 

@@ -136,6 +136,11 @@ def load_model(path: str, radang_deg: Optional[np.ndarray] = None):
                           nz_slabs=lo.get("nz_slabs", 1),
                           vert_overlap=lo.get("vert_overlap", 1),
                           radang_deg=radang_deg)
+    # weight files persisted before the clamped-SST std floor existed carry
+    # the collapsed (eps-scale) stds; flooring is idempotent and training-
+    # equivalent (see standardize.SST_STD_FLOOR)
+    from ..domain.standardize import floor_sst_std
+    stz = floor_sst_std(stz, layout)
     return HybridModel(layout=layout, params=params, stz=stz, rcfg=rcfg,
                        ml_only=bool(meta["ml_only"]))
 

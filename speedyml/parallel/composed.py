@@ -145,7 +145,9 @@ class ComposedHybridStep:
             atmo2, logp2, pr2 = scatter_outputs(L, out)
             atmo2 = atmo2.at[3].set(jnp.maximum(atmo2[3], QMIN))
             if pr2 is not None:
-                pr2 = jnp.maximum(pr2, 0.0)
+                from ..hybrid.experiment import clamp_precip_t
+                pr2 = clamp_precip_t(
+                    pr2, eps, getattr(hm.rcfg, "precip_cap_mm", 40.0))
             return x, atmo2, logp2, pr2, safe
 
         return jax.jit(step)

@@ -145,12 +145,14 @@ def compose_week_inputs(gv_end, gv_sum, steps_per_week: int,
 
 
 def _section_stats(series: np.ndarray, sections: dict, groups: dict,
-                   eps: float = 1e-8):
+                   eps: float = 1e-8, std_floors: Optional[dict] = None):
     """Per-region scalar stats per (section, group) expanded to per-element
     (the reference's per-variable scalars, mod_utilities.f90:934-1040).
 
     groups[name] = number of interleaved variables in the section (stats are
-    computed per variable, shared across patch positions)."""
+    computed per variable, shared across patch positions).
+    std_floors[name] = absolute std floor for clamped/bounded INPUT sections
+    (see standardize.SST_STD_FLOOR)."""
     T, R, n = series.shape
     mean = np.empty((R, n), np.float32)
     std = np.empty((R, n), np.float32)
@@ -161,6 +163,8 @@ def _section_stats(series: np.ndarray, sections: dict, groups: dict,
         sec = series[:, :, s0:s1].reshape(T, R, (s1 - s0) // g, g)
         m = sec.mean(axis=(0, 2))            # (R, g)
         sd = sec.std(axis=(0, 2)) + eps
+        if std_floors and name in std_floors:
+            sd = np.maximum(sd, std_floors[name])
         mean[:, s0:s1] = np.tile(m[:, None, :], (1, (s1 - s0) // g, 1)
                                  ).reshape(R, -1)
         std[:, s0:s1] = np.tile(sd[:, None, :], (1, (s1 - s0) // g, 1)
@@ -352,8 +356,10 @@ def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,
     ends = np.arange(1, Tw + 1) * spw - 1
     targets_raw = gv_truth[ends][:, ol.target_index]       # (Tw, R, n_out)
 
+    from ..domain.standardize import SST_STD_FLOOR
     in_mean, in_std = _section_stats(
-        inputs, ol.sections, groups={"atmo_bot": L.nvars})
+        inputs, ol.sections, groups={"atmo_bot": L.nvars},
+        std_floors={"sst": SST_STD_FLOOR})
     ncore = L.resy * L.resx
     out_sec = {"sst": (0, ncore)}
     if ol.n_out > ncore:
