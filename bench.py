@@ -297,6 +297,73 @@ def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96), n_steps=4,
         sweep[str(E)] = round(gps, 1)
         if gps > best:
             best, best_E = gps, E
+    if best_E:
+        # component attribution at the best E (VERDICT r3: where the
+        # ensemble step saturates): vmapped SPEEDY window alone vs the
+        # ESN exchange alone (pack + standardize + advance/readout +
+        # scatter, weights broadcast across members like EnsembleHybrid)
+        try:
+            import jax
+            from speedyml.domain.decomposition import (pack_global,
+                                                       scatter_outputs)
+            from speedyml.domain.standardize import (standardize_in,
+                                                     standardize_out,
+                                                     unstandardize_out)
+            from speedyml.hybrid.state_io import GridState
+            from speedyml.reservoir.esn import predict_step
+            L = hm.layout
+            idx = jnp.asarray(L.input_index)
+            tidx = jnp.asarray(L.target_index)
+            win = fc._window_fn()
+            E = best_E
+            atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                             np.asarray(gs0.v),
+                             np.maximum(np.asarray(gs0.q), 1e-6)])
+            atmo_e = jnp.asarray((atmo[None] + 0.01 * rng.normal(
+                size=(E,) + atmo.shape)).astype(np.float32))
+            logp_e = jnp.asarray(np.broadcast_to(
+                np.asarray(gs0.logp), (E,) + gs0.logp.shape
+            ).astype(np.float32))
+            pr_e = jnp.zeros_like(logp_e)
+            ssj, tij = jnp.asarray(sst), jnp.asarray(tisr)
+
+            def _win_member(a, lp):
+                gs = GridState(t=a[0], u=a[1], v=a[2],
+                               q=jnp.maximum(a[3], 1e-6), logp=lp)
+                r = win(gs, surf, forcing)
+                return r.gs.t
+
+            win_e = jax.jit(jax.vmap(_win_member))
+            _sync(win_e(atmo_e, logp_e))
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                _w = win_e(atmo_e, logp_e)
+            _sync(_w)
+            dt_w = (time.perf_counter() - t0) / n_steps
+
+            params, stz = hm.params, hm.stz
+
+            def _esn_member(x, a, lp, pt):
+                gv = pack_global(L, a, lp, pt, ssj, tij)
+                u = standardize_in(stz, gv[idx])
+                mv = standardize_out(stz, gv[tidx])
+                x, out_std = predict_step(params, x, u, mv)
+                out = unstandardize_out(stz, out_std)
+                a2, lp2, pr2 = scatter_outputs(L, out)
+                return x, a2
+            esn_e = jax.jit(jax.vmap(_esn_member))
+            x_e = jnp.zeros((E, L.R, params.win.shape[1]), jnp.float32)
+            xe, ae = esn_e(x_e, atmo_e, logp_e, pr_e)
+            _sync(ae)
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                xe, ae = esn_e(xe, atmo_e, logp_e, pr_e)
+            _sync(ae)
+            dt_e = (time.perf_counter() - t0) / n_steps
+            sweep["window_ms_at_best_E"] = round(dt_w * 1e3, 2)
+            sweep["esn_ms_at_best_E"] = round(dt_e * 1e3, 2)
+        except Exception as e:
+            print(f"# ensemble attribution failed: {e!r}", file=sys.stderr)
     return best, best_E, sweep
 
 
@@ -401,6 +468,13 @@ def main():
     out["hybrid_ms_per_step_bf16_wout"] = round(stepw * 1e3, 2)
     if hybw > hybrid_gps:
         hybrid_gps, out["hybrid_mode"] = hybw, "bfloat16-wout"
+    # the two fast paths touch disjoint streams (window grid compute vs
+    # readout HBM) — the combination is the throughput mode
+    hybb, stepb, _ = bench_hybrid_step(grid_compute="bfloat16",
+                                       wout_dtype="bfloat16")
+    out["hybrid_ms_per_step_bf16_both"] = round(stepb * 1e3, 2)
+    if hybb > hybrid_gps:
+        hybrid_gps, out["hybrid_mode"] = hybb, "bfloat16-grid+wout"
 
     if trained:
         # regression attribution (VERDICT r3): same program with random

@@ -120,12 +120,13 @@ def phase_train(args):
     t = time.time()
     ckdir = (args.cache + (".ml_ckpt" if args.ml_only else ".train_ckpt")
              if args.train_ckpt else None)
+    also_ml = args.also_ml and not args.ml_only
     hm = train_hybrid(L, rcfg, gv_truth[:n_train],
                       None if args.ml_only else gv_model[:n_train],
                       seed=0, region_block=args.region_block,
                       chunk=args.chunk, solver="device",
                       verbose=(2 if os.environ.get("TRAIN_DEBUG") else True),
-                      checkpoint_dir=ckdir,
+                      checkpoint_dir=ckdir, also_ml=also_ml,
                       upload_dtype=(np.float16 if args.upload_f16 else None))
     timings["train_s"] = time.time() - t
     log(f"TRAIN done in {timings['train_s']:.0f}s: wout {hm.params.wout.shape}"
@@ -143,6 +144,17 @@ def phase_train(args):
                 f"{timings['persist_s']:.0f}s)")
         except Exception as e:       # never lose the run to a write failure
             log(f"WEIGHT PERSISTENCE FAILED ({e!r}); continuing")
+        if also_ml:
+            try:
+                from speedyml.hybrid.experiment import ml_variant
+                t = time.time()
+                save_model(args.ml_weights, ml_variant(hm))
+                timings["persist_ml_s"] = time.time() - t
+                log(f"ml-only weights persisted -> {args.ml_weights} "
+                    f"({os.path.getsize(args.ml_weights)/1e9:.2f} GB, "
+                    f"{timings['persist_ml_s']:.0f}s)")
+            except Exception as e:
+                log(f"ML WEIGHT PERSISTENCE FAILED ({e!r}); continuing")
 
     if not args.predict_inline:
         # prediction runs in a FRESH process (phase `predict`): after 144
@@ -355,9 +367,12 @@ def phase_coupled(args):
     if resume:
         x = x_ocean = None       # checkpoint supplies the reservoir states
     else:
-        spw = ocean.steps_per_week
-        gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
-        x_ocean = ocean.synchronize(gv_w)
+        if ocean is None:        # --hybrid-only: no interactive ocean
+            x_ocean = None
+        else:
+            spw = ocean.steps_per_week
+            gv_w = weekly_ocean_inputs(gv_truth[:n_train], spw, L)
+            x_ocean = ocean.synchronize(gv_w)
         n_sync = rcfg.synclength // rcfg.timestep
         x = hm.synchronize(gv_truth[n_train - n_sync:n_train])
     s = L.gv_sizes
@@ -445,6 +460,13 @@ def main():
     ap.add_argument("--ml-only", action="store_true",
                     help="train/predict the ML-only configuration "
                          "(ml_only=.True., mod_reservoir.f90:295-296)")
+    ap.add_argument("--also-ml", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="train phase: additionally solve the ML-only "
+                         "readout from the hybrid's normal equations (one "
+                         "extra ridge factorization per block) and persist "
+                         "it to --ml-weights")
+    ap.add_argument("--ml-weights", default="data/refscale_weights_ml.nc")
     ap.add_argument("--predict-inline", action="store_true",
                     help="run the prediction inside the training process "
                          "(small scales only; at reference scale the "

@@ -286,7 +286,7 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                  chunk: int = 64, solver: str = "host",
                  verbose: bool = False,
                  checkpoint_dir: Optional[str] = None,
-                 upload_dtype=None) -> HybridModel:
+                 upload_dtype=None, also_ml: bool = False) -> HybridModel:
     """Train all regions' readouts by blocked normal-equation accumulation.
 
     gv_truth: (T, gv_len) transformed truth series.
@@ -309,9 +309,17 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
     quantization is ~5e-4 relative on O(1) standardized values — far below
     the 20% training input noise (mod_utilities.f90:1387-1410) and the fit
     residual; equivalence bound pinned by test_reservoir.
+    also_ml: additionally solve the ML-ONLY readout from the SAME
+    accumulated normal equations: the augmented vector is [model; nodes],
+    so the ml-only system (mod_reservoir.f90:1491-1535 fit_chunk_ml) is
+    exactly the trailing (n, n) sub-block of the hybrid's — the reservoir
+    drive (states, noise keys, win/A generation) is identical, so config 2
+    costs one extra ridge factorization per block instead of a second full
+    training pass. Retrieve with `ml_variant(hm)`.
     """
     R = layout.R
     ml_only = gv_model is None
+    assert not (also_ml and ml_only), "also_ml needs a hybrid training run"
     Tn = gv_truth.shape[0]
     discard = max(1, rcfg.discardlength // rcfg.timestep)
     assert Tn > discard + 2, "training series shorter than discard"
@@ -346,6 +354,7 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         for i in range(0, R, region_block)]
 
     wout_parts, idx_parts, val_parts, win_parts = [], [], [], []
+    wout_ml_parts = []
     q_nodes = None
     shift_parts = []    # per-block circulant shifts (None entry = generic)
     key0 = jax.random.PRNGKey(seed)
@@ -361,14 +370,19 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             import os
             if os.path.exists(ck):
                 z = np.load(ck)
-                wout_parts.append(z["wout"])
-                idx_parts.append(z["a_idx"])
-                val_parts.append(z["a_val"])
-                win_parts.append(z["win"])
-                q_nodes = int(z["q"])
-                shift_parts.append(z["a_shift"] if "a_shift" in z.files
-                                   else None)
-                continue
+                # a block persisted without the ml readout cannot satisfy
+                # an also_ml resume (the accumulator is gone) — recompute it
+                if not (also_ml and "wout_ml" not in z.files):
+                    wout_parts.append(z["wout"])
+                    if also_ml:
+                        wout_ml_parts.append(z["wout_ml"])
+                    idx_parts.append(z["a_idx"])
+                    val_parts.append(z["a_val"])
+                    win_parts.append(z["win"])
+                    q_nodes = int(z["q"])
+                    shift_parts.append(z["a_shift"] if "a_shift" in z.files
+                                       else None)
+                    continue
         tphase = _time.time()
 
         def _tp(label, on=verbose == 2):
@@ -429,6 +443,26 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         _tp("ridge solve")
         wout_parts.append(np.asarray(wout, np.float32))
         _tp("wout fetch")
+        if also_ml:
+            # ml-only system = trailing (n, n) sub-block of the hybrid
+            # normal equations (aug = [model; nodes]); one extra Cholesky
+            acc_ml = acc._replace(
+                ss_hi=acc.ss_hi[:, n_model:, n_model:],
+                ss_lo=acc.ss_lo[:, n_model:, n_model:],
+                sy_hi=acc.sy_hi[:, :, n_model:],
+                sy_lo=acc.sy_lo[:, :, n_model:])
+            if solver == "device":
+                wout_ml = ridge_solve_device(
+                    acc_ml, 0, rcfg.beta_res, rcfg.beta_model,
+                    prior_val=rcfg.prior_val,
+                    use_prior=rcfg.prior_val != 0.0)
+            else:
+                wout_ml = ridge_solve(acc_ml, 0, rcfg.beta_res,
+                                      rcfg.beta_model,
+                                      prior_val=rcfg.prior_val,
+                                      use_prior=rcfg.prior_val != 0.0)
+            wout_ml_parts.append(np.asarray(wout_ml, np.float32))
+            _tp("ml ridge solve")
         idx_parts.append(np.asarray(params.a_idx))
         val_parts.append(np.asarray(params.a_val))
         win_parts.append(np.asarray(params.win))
@@ -439,6 +473,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
             tmp = ck + ".tmp"
             extra = ({} if shift_parts[-1] is None
                      else dict(a_shift=shift_parts[-1]))
+            if also_ml:
+                extra["wout_ml"] = wout_ml_parts[-1]
             with open(tmp, "wb") as fh:     # atomic: write-then-rename
                 np.savez(fh, wout=wout_parts[-1], a_idx=idx_parts[-1],
                          a_val=val_parts[-1], win=win_parts[-1], q=q_nodes,
@@ -454,6 +490,8 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                 a_val=np.concatenate(val_parts),
                 win=np.concatenate(win_parts),
                 wout=np.concatenate(wout_parts))
+    if also_ml:
+        host["wout_ml"] = np.concatenate(wout_ml_parts)
     # all blocks share the deterministic (n, deg) shifts by construction;
     # a resume mixing legacy (shift-less) checkpoint blocks re-detects the
     # circulant structure from the indices instead of dropping the fast
@@ -474,6 +512,22 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
         a_shift=None if shifts is None else jnp.asarray(shifts))
     return HybridModel(layout=layout, params=params_all, stz=stz, rcfg=rcfg,
                        ml_only=ml_only, host_np=host)
+
+
+def ml_variant(hm: HybridModel) -> HybridModel:
+    """The ML-ONLY model (config 2, mod_reservoir.f90:295-296,1491-1535)
+    extracted from a `train_hybrid(..., also_ml=True)` run: identical
+    reservoirs/standardization, readout restricted to the reservoir block
+    (n_model == 0)."""
+    assert hm.host_np is not None and "wout_ml" in hm.host_np, \
+        "train with also_ml=True first"
+    host = {k: v for k, v in hm.host_np.items() if k != "wout_ml"}
+    host["wout"] = hm.host_np["wout_ml"]
+    # keep the host copy (3.6 GB at reference scale) — persistence reads
+    # host_np and prediction runs in a fresh process; no eager upload
+    p = hm.params._replace(wout=host["wout"])
+    return HybridModel(layout=hm.layout, params=p, stz=hm.stz, rcfg=hm.rcfg,
+                       ml_only=True, host_np=host)
 
 
 # ----------------------------------------------------------------------
