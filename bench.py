@@ -242,19 +242,27 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
     return n_steps * gp / dt, dt / n_steps, trained
 
 
-def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96), n_steps=4,
-                          grid_compute="bfloat16"):
+def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96, 128), n_steps=4,
+                          grid_compute="bfloat16", wout_dtype="float32",
+                          attribution=True):
     """Ensemble-batched hybrid step (hybrid/ensemble.py): the full step
     vmapped over E members; value = E * gridpoints * steps / s.
     Sweeps E until HBM runs out (the x_e state alone is E*1152*5760 f32 =
-    26.5 MB/member; E=128 plus the 3.7 GB wout exceeds the 16 GB chip) and
-    reports the full sweep for saturation analysis."""
+    26.5 MB/member; large E plus the 3.7 GB f32 wout exceeds the 16 GB
+    chip — wout_dtype='bfloat16' halves the resident bank AND the readout
+    stream, extending the feasible sweep) and reports the full sweep for
+    saturation analysis."""
     import jax.numpy as jnp
 
     from speedyml.hybrid.ensemble import EnsembleHybrid
     from speedyml.hybrid.forecast import SpeedyForecaster
 
     sp, hm, trained, gs0 = _speedy_and_hm(grid_compute)
+    if wout_dtype != "float32":
+        import dataclasses as _dc
+        from speedyml.reservoir.esn import cast_wout
+        hm = _dc.replace(hm, params=cast_wout(hm.params,
+                                              jnp.dtype(wout_dtype)))
     cfg = sp.config
     fc = SpeedyForecaster(sp, hours=6, physics=True)
     surf, forcing, _, _ = fc._surf_forcing(sp.date)
@@ -297,7 +305,7 @@ def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96), n_steps=4,
         sweep[str(E)] = round(gps, 1)
         if gps > best:
             best, best_E = gps, E
-    if best_E:
+    if best_E and attribution:
         # component attribution at the best E (VERDICT r3: where the
         # ensemble step saturates): vmapped SPEEDY window alone vs the
         # ESN exchange alone (pack + standardize + advance/readout +
@@ -496,6 +504,15 @@ def main():
     out["hybrid_ensemble_gps"] = round(ens_gps, 1)
     out["hybrid_ensemble_E"] = ens_E
     out["hybrid_ensemble_sweep"] = ens_sweep
+    # bf16-stored wout halves both the resident bank and the readout
+    # stream — extends the feasible E past the f32 HBM ceiling
+    ens16, ens16_E, ens16_sweep = bench_hybrid_ensemble(
+        ens_list=(96, 128, 192), wout_dtype="bfloat16", attribution=False)
+    out["hybrid_ensemble_sweep_bf16_wout"] = ens16_sweep
+    if ens16 > ens_gps:
+        out["hybrid_ensemble_gps"] = round(ens16, 1)
+        out["hybrid_ensemble_E"] = ens16_E
+        out["hybrid_ensemble_mode"] = "bfloat16-wout"
 
     dry_f32, ens32 = bench_dry_core(grid_compute="float32")
     dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")

@@ -451,6 +451,10 @@ def train_hybrid(layout: RegionLayout, rcfg: ReservoirConfig,
                 ss_lo=acc.ss_lo[:, n_model:, n_model:],
                 sy_hi=acc.sy_hi[:, :, n_model:],
                 sy_lo=acc.sy_lo[:, :, n_model:])
+            del acc          # free the full (Rb, na, na) pairs before the
+            #                  f64 promotion (HBM headroom at na=5896; the
+            #                  runtime holds buffers live until the slice
+            #                  ops that read them complete)
             if solver == "device":
                 wout_ml = ridge_solve_device(
                     acc_ml, 0, rcfg.beta_res, rcfg.beta_model,
