@@ -258,6 +258,27 @@ class ScanHybridRunner:
         return jax.jit(chunk)
 
     # ------------------------------------------------------------------
+    def _upload_fields(self, xs: StepFields):
+        """One batched host->device transfer for the per-chunk boundary
+        fields: the remote tunnel pays a fixed round trip PER transfer, so
+        17 individual (K, il, ix) uploads cost ~17 RTTs; stacking same-rank
+        fields into one buffer and slicing on device costs 1-2."""
+        dt = self._np_dtype
+        host = {k: np.asarray(getattr(xs, k), dt)
+                for k in StepFields._fields}
+        by_shape = {}
+        for k, v in host.items():
+            by_shape.setdefault(v.shape, []).append(k)
+        out = {}
+        for shape, keys in by_shape.items():
+            if len(keys) == 1:
+                out[keys[0]] = jnp.asarray(host[keys[0]])
+                continue
+            dev = jnp.asarray(np.stack([host[k] for k in keys]))
+            for i, k in enumerate(keys):
+                out[k] = dev[i]
+        return StepFields(**out)
+
     def run(self, x, atmo0, logp0, precip_t0, date: ModelDate, n_steps: int,
             ocean=None, x_ocean=None, sst_anom0=None, writer=None,
             checkpoint_path=None, checkpoint_every=0, verbose=0,
@@ -294,8 +315,9 @@ class ScanHybridRunner:
 
         traj = {k: [] for k in ("atmo", "logp", "precip_mm", "sst")}
         aborted = False
-        pending = None          # (device stacks, host sst_used?) to fetch
+        pending = None          # previous chunk's device stacks to fetch
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         def flush(p):
             a_st, l_st, p_st, s_st, upto = p
@@ -314,60 +336,85 @@ class ScanHybridRunner:
         steps_done = 0
         t_run0 = _time.time()
         t_prev = t_run0
-        for ci in range(n_chunks):
-            xs = self._precompute(date, K)
-            res = self._fn(hm.params, hm.stz, idx, tidx, x, atmo, logp, pr,
-                           anom, tcorh, jax.tree.map(jnp.asarray, xs))
-            (x2, atmo2, logp2, pr2, gv_sum, gv_last,
-             a_st, l_st, p_st, s_st, safe_st) = res
-            # safety first (tiny fetch; forces chunk completion)
-            safe = np.asarray(safe_st)
-            upto = int(np.argmax(~safe)) if (~safe).any() else K
-            if upto < K:
-                aborted = True
-            if ocean is not None and not aborted:
-                from ..reservoir.slab import compose_week_inputs
-                gv_week = compose_week_inputs(gv_last, gv_sum, K, L)
-                x_ocean, sst_core = ocean.step(x_ocean, gv_week)
-                clim_last = np.asarray(xs.sst_clim[K - 1], np.float64)
-                grid = ocean.compose_sst(np.asarray(sst_core), clim_last, L)
-                anom = jnp.asarray(np.asarray(grid - clim_last, dt))
-            # advance host state BEFORE fetching bulk stacks so the next
-            # chunk's dispatch overlaps this chunk's trajectory download
-            x, atmo, logp, pr = x2, atmo2, logp2, pr2
-            for _ in range(K):
-                date.advance_hours(hm.rcfg.timestep)
-            steps_done += upto
-            if pending is not None:
-                if fetch_traj:
-                    flush(pending)
-                pending = None
-            pending = (a_st, l_st, p_st, s_st, upto)
-            if aborted:
-                break
-            if checkpoint_path and checkpoint_every and \
-                    ((ci + 1) * K) % max(checkpoint_every // K * K, K) == 0:
-                from ..io.checkpoint import save_prediction
-                extra = {"sst_anom": np.asarray(anom, np.float64)}
-                if ocean is not None:
-                    extra["n_accum"] = 0
-                    extra["x_ocean"] = np.asarray(x_ocean)
-                save_prediction(checkpoint_path, np.asarray(x),
-                                np.asarray(atmo), np.asarray(logp),
-                                np.asarray(pr), date,
-                                step=(ci + 1) * K, extra=extra)
-            if verbose and ((ci + 1) * K) % verbose < K:
-                now = _time.time()
-                print(f"  fast-loop chunk {ci+1}/{n_chunks} "
-                      f"({steps_done} steps, "
-                      f"{(now - t_prev):.1f}s since last print, "
-                      f"{(now - t_run0)/steps_done:.2f}s/step avg) "
-                      f"[{_time.strftime('%H:%M:%S')}]", flush=True)
-                t_prev = now
-            if deadline is not None and _time.time() > deadline:
-                break
-        if pending is not None and fetch_traj:
-            flush(pending)
+        # single-worker pool: trajectory downloads + writer appends run in
+        # order, overlapping the NEXT chunk's device compute (the per-step
+        # runner paid this 1.8 s/chunk fetch inline; BASELINE.md r4)
+        pool = ThreadPoolExecutor(max_workers=1)
+        flush_fut = None
+        xs_host = self._precompute(date, K)
+        xs_dev = self._upload_fields(xs_host)
+        clim_last_host = np.asarray(xs_host.sst_clim[K - 1], np.float64)
+        try:
+            for ci in range(n_chunks):
+                res = self._fn(hm.params, hm.stz, idx, tidx, x, atmo, logp,
+                               pr, anom, tcorh, xs_dev)
+                (x2, atmo2, logp2, pr2, gv_sum, gv_last,
+                 a_st, l_st, p_st, s_st, safe_st) = res
+                # while the chunk computes: drain the previous chunk's
+                # trajectory in the worker and stage the next chunk's
+                # boundary fields (all overlap the device work)
+                if pending is not None:
+                    if fetch_traj:
+                        if flush_fut is not None:
+                            flush_fut.result()
+                        flush_fut = pool.submit(flush, pending)
+                    pending = None
+                sst_clim_last = clim_last_host
+                date_next = ModelDate(date.iyear, date.imonth, date.iday,
+                                      date.ihour)
+                for _ in range(K):
+                    date_next.advance_hours(hm.rcfg.timestep)
+                if ci + 1 < n_chunks:
+                    xs_host = self._precompute(date_next, K)
+                    xs_dev = self._upload_fields(xs_host)
+                    clim_last_host = np.asarray(xs_host.sst_clim[K - 1],
+                                                np.float64)
+                # safety (tiny fetch; forces chunk completion)
+                safe = np.asarray(safe_st)
+                upto = int(np.argmax(~safe)) if (~safe).any() else K
+                if upto < K:
+                    aborted = True
+                if ocean is not None and not aborted:
+                    from ..reservoir.slab import compose_week_inputs
+                    gv_week = compose_week_inputs(gv_last, gv_sum, K, L)
+                    x_ocean, sst_core = ocean.step(x_ocean, gv_week)
+                    grid = ocean.compose_sst(np.asarray(sst_core),
+                                             sst_clim_last, L)
+                    anom = jnp.asarray(np.asarray(grid - sst_clim_last, dt))
+                x, atmo, logp, pr = x2, atmo2, logp2, pr2
+                date = date_next
+                steps_done += upto
+                pending = (a_st, l_st, p_st, s_st, upto)
+                if aborted:
+                    break
+                if checkpoint_path and checkpoint_every and \
+                        ((ci + 1) * K) % max(checkpoint_every // K * K,
+                                             K) == 0:
+                    from ..io.checkpoint import save_prediction
+                    extra = {"sst_anom": np.asarray(anom, np.float64)}
+                    if ocean is not None:
+                        extra["n_accum"] = 0
+                        extra["x_ocean"] = np.asarray(x_ocean)
+                    save_prediction(checkpoint_path, np.asarray(x),
+                                    np.asarray(atmo), np.asarray(logp),
+                                    np.asarray(pr), date,
+                                    step=(ci + 1) * K, extra=extra)
+                if verbose and ((ci + 1) * K) % verbose < K:
+                    now = _time.time()
+                    print(f"  fast-loop chunk {ci+1}/{n_chunks} "
+                          f"({steps_done} steps, "
+                          f"{(now - t_prev):.1f}s since last print, "
+                          f"{(now - t_run0)/steps_done:.2f}s/step avg) "
+                          f"[{_time.strftime('%H:%M:%S')}]", flush=True)
+                    t_prev = now
+                if deadline is not None and _time.time() > deadline:
+                    break
+            if flush_fut is not None:
+                flush_fut.result()
+            if pending is not None and fetch_traj:
+                flush(pending)
+        finally:
+            pool.shutdown(wait=True)
         out = {k: (np.concatenate(v) if v else None)
                for k, v in traj.items()}
         out["x"] = x
