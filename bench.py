@@ -9,22 +9,33 @@ When trained weights exist (data/refscale_weights.nc) the step runs them
 with the real standardizer and a live precip feedback loop; otherwise
 random weights at identical shapes/sparsity time the same program.
 
-Secondary metrics: ensemble-batched hybrid step (the climate-ensemble
-mode: the whole step vmapped over E members — amortizes the wout HBM
-stream and batches the window), dry-core ensemble figures (f32/bf16), and
-a reference-scale training-block timing (state loop + compensated
-accumulation + on-device f64 ridge solve per 8-region block; x64
-subprocess).
+Crash-proofing (VERDICT r4, Weak #1 / Next #1): every stage runs in its own
+SUBPROCESS (`python bench.py --stage NAME`), because an in-process TPU OOM
+poisons all later allocations on this backend (proven twice: r4's bf16-wout
+re-init died on a tiny transfer after earlier sweep OOMs). Stages print
+incremental `STAGE_JSON {...}` lines that the orchestrator merges into
+bench_partial.json as they arrive — a crash in ANY stage can never erase an
+already-measured number. The ensemble sweep is sized from a computed HBM
+budget instead of discovering the ceiling by OOM; if an E still OOMs, the
+subprocess dies alone and the failure is recorded as the measured ceiling.
+
+Secondary metrics: ensemble-batched hybrid step (f32 + bf16-wout sweeps with
+window-vs-ESN attribution at the best width), production fastloop s/step,
+dry-core ensemble figures (f32/bf16), and a reference-scale training-block
+timing (x64 subprocess).
 
 vs_baseline compares against BENCH_BASELINE.json — NOTE: that file holds
 THIS framework's own round-1/2 measurements (the reference publishes no
-throughput numbers, BASELINE.md), so vs_baseline tracks self-improvement.
+throughput numbers, BASELINE.md), so vs_baseline tracks self-improvement;
+vs_r3_ms additionally tracks the step-time trend against round 3's best
+(VERDICT r4, Weak #3: the r2 anchor alone flatters).
 
 NOTE (measurement): on remote-tunnel backends (axon) `block_until_ready`
 returns before device execution finishes; the only true synchronization is
 a device->host transfer, which this bench uses (BASELINE.md, round 1).
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -34,11 +45,39 @@ import time
 import numpy as np
 
 WEIGHTS_PATH = "data/refscale_weights.nc"
+PARTIAL_PATH = "bench_partial.json"
+
+# --- HBM budget model for the ensemble sweep (VERDICT r4, Next #1b) ------
+# chip HBM minus the resident wout bank minus fixed overhead (SPEEDY
+# tables, window constants, XLA workspace), divided by the per-member cost
+# (x_e state 26.5 MB + the vmapped full-physics window's activations).
+# PER_MEMBER_GB is calibrated from the r4 record: with the 3.44 GiB f32
+# bank, E=64 fit and E=96 OOMed (logs/bench_r4.log) -> 0.116..0.173 GB per
+# member; 0.13 with a 0.5 GB margin reproduces both observations.
+HBM_GB = 16.0
+FIXED_GB = 2.0
+PER_MEMBER_GB = 0.13
+MARGIN_GB = 0.5
+
+
+def ensemble_budget(wout_bytes: int) -> int:
+    free = HBM_GB - wout_bytes / 2**30 - FIXED_GB - MARGIN_GB
+    return max(int(free / PER_MEMBER_GB), 1)
 
 
 def _sync(arr):
     np.asarray(arr.ravel()[0])       # true host sync on remote backends
 
+
+def emit(d: dict):
+    """Incremental stage output: one JSON line the orchestrator merges
+    immediately (a later crash cannot erase it)."""
+    print("STAGE_JSON " + json.dumps(d), flush=True)
+
+
+# ========================================================================
+# measurement functions (unchanged physics/programs from r3/r4)
+# ========================================================================
 
 def bench_dry_core(cfg_dtype="float32", grid_compute="float32",
                    ens_list=(64, 128), nsteps_chunk=96, nchunks=4):
@@ -129,7 +168,7 @@ _CACHE = {}
 
 
 def _speedy_and_hm(grid_compute="float32", force_random=False):
-    """Build (speedy, hm, gs0): trained weights when available."""
+    """Build (speedy, hm, trained, gs0): trained weights when available."""
     import jax
 
     from speedyml.core.config import ModelConfig, ReservoirConfig
@@ -219,15 +258,16 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
         out = unstandardize_out(stz, out_std)
         a2, logp2, pr2 = scatter_outputs(L, out)
         gs2 = GridState(t=a2[0], u=a2[1], v=a2[2],
-                        q=jnp.maximum(a2[3], 1e-6), logp=logp2)
+                       q=jnp.maximum(a2[3], 1e-6), logp=logp2)
         return x, gs2, jnp.maximum(pr2, 0.0)
 
-    sst = jnp.asarray(np.asarray(sp.coupler.sst_am), jnp.float32)
-    tisr = jnp.asarray(np.full((cfg.il, cfg.ix), 300.0), jnp.float32)
-    x = jnp.zeros((L.R, params.win.shape[1]), jnp.float32)
-    pr_t = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
+    import jax.numpy as jnp2
+    sst = jnp2.asarray(np.asarray(sp.coupler.sst_am), jnp2.float32)
+    tisr = jnp2.asarray(np.full((cfg.il, cfg.ix), 300.0), jnp2.float32)
+    x = jnp2.zeros((L.R, params.win.shape[1]), jnp2.float32)
+    pr_t = jnp2.zeros((cfg.il, cfg.ix), jnp2.float32)
 
-    zero_pr = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
+    zero_pr = jnp2.zeros((cfg.il, cfg.ix), jnp2.float32)
     x, gs, pr_t = hybrid_step(params, stz, x, gs0, pr_t, surf, forcing,
                               sst, tisr)
     _sync(gs.t)
@@ -242,16 +282,7 @@ def bench_hybrid_step(n_steps=16, grid_compute="float32",
     return n_steps * gp / dt, dt / n_steps, trained
 
 
-def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96, 128), n_steps=4,
-                          grid_compute="bfloat16", wout_dtype="float32",
-                          attribution=True):
-    """Ensemble-batched hybrid step (hybrid/ensemble.py): the full step
-    vmapped over E members; value = E * gridpoints * steps / s.
-    Sweeps E until HBM runs out (the x_e state alone is E*1152*5760 f32 =
-    26.5 MB/member; large E plus the 3.7 GB f32 wout exceeds the 16 GB
-    chip — wout_dtype='bfloat16' halves the resident bank AND the readout
-    stream, extending the feasible sweep) and reports the full sweep for
-    saturation analysis."""
+def _ensemble_setup(grid_compute="bfloat16", wout_dtype="float32"):
     import jax.numpy as jnp
 
     from speedyml.hybrid.ensemble import EnsembleHybrid
@@ -263,124 +294,118 @@ def bench_hybrid_ensemble(ens_list=(16, 32, 64, 96, 128), n_steps=4,
         from speedyml.reservoir.esn import cast_wout
         hm = _dc.replace(hm, params=cast_wout(hm.params,
                                               jnp.dtype(wout_dtype)))
-    cfg = sp.config
     fc = SpeedyForecaster(sp, hours=6, physics=True)
     surf, forcing, _, _ = fc._surf_forcing(sp.date)
     eh = EnsembleHybrid(hm, fc)
     sst = np.asarray(sp.coupler.sst_am, np.float32)
-    tisr = np.full((cfg.il, cfg.ix), 300.0, np.float32)
+    tisr = np.full((sp.config.il, sp.config.ix), 300.0, np.float32)
+    return sp, hm, fc, eh, gs0, surf, forcing, sst, tisr
+
+
+def measure_ensemble_E(setup, E, n_steps=4):
+    """One ensemble width: E x gridpoints x steps / s (the climate-ensemble
+    mode: the whole hybrid step vmapped over E members)."""
+    import jax.numpy as jnp
+
+    sp, hm, fc, eh, gs0, surf, forcing, sst, tisr = setup
+    cfg = sp.config
     gp = cfg.ix * cfg.il * cfg.kx
     rng = np.random.default_rng(1)
+    atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                     np.asarray(gs0.v),
+                     np.maximum(np.asarray(gs0.q), 1e-6)])
+    atmo_e = (atmo[None] + 0.01 * rng.normal(
+        size=(E,) + atmo.shape)).astype(np.float32)
+    logp_e = np.broadcast_to(np.asarray(gs0.logp), (E,) + gs0.logp.shape
+                             ).astype(np.float32).copy()
+    pr_e = np.zeros_like(logp_e)
+    x_e = jnp.zeros((E, hm.layout.R, hm.params.win.shape[1]), jnp.float32)
+    out = eh.step(x_e, atmo_e, logp_e, pr_e, sst, tisr, surf, forcing)
+    _sync(out[1])
+    t0 = time.perf_counter()
+    x_e, a_e, l_e, p_e = out[0], out[1], out[2], out[3]
+    for _ in range(n_steps):
+        x_e, a_e, l_e, p_e, _safe = eh.step(x_e, a_e, l_e, p_e, sst,
+                                            tisr, surf, forcing)
+    _sync(a_e)
+    dt = time.perf_counter() - t0
+    return E * n_steps * gp / dt
 
-    best, best_E = 0.0, 0
-    sweep = {}
-    for E in ens_list:
-        try:
-            atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
-                             np.asarray(gs0.v),
-                             np.maximum(np.asarray(gs0.q), 1e-6)])
-            atmo_e = (atmo[None] + 0.01 * rng.normal(
-                size=(E,) + atmo.shape)).astype(np.float32)
-            logp_e = np.broadcast_to(np.asarray(gs0.logp),
-                                     (E,) + gs0.logp.shape
-                                     ).astype(np.float32).copy()
-            pr_e = np.zeros_like(logp_e)
-            x_e = jnp.zeros((E, hm.layout.R, hm.params.win.shape[1]),
-                            jnp.float32)
-            out = eh.step(x_e, atmo_e, logp_e, pr_e, sst, tisr, surf,
-                          forcing)
-            _sync(out[1])
-            t0 = time.perf_counter()
-            x_e, a_e, l_e, p_e = out[0], out[1], out[2], out[3]
-            for _ in range(n_steps):
-                x_e, a_e, l_e, p_e, _safe = eh.step(x_e, a_e, l_e, p_e, sst,
-                                                    tisr, surf, forcing)
-            _sync(a_e)
-            dt = time.perf_counter() - t0
-        except Exception as e:
-            print(f"# ensemble E={E} failed ({type(e).__name__}); "
-                  f"sweep stops", file=sys.stderr)
-            break
-        gps = E * n_steps * gp / dt
-        sweep[str(E)] = round(gps, 1)
-        if gps > best:
-            best, best_E = gps, E
-    if best_E and attribution:
-        # component attribution at the best E (VERDICT r3: where the
-        # ensemble step saturates): vmapped SPEEDY window alone vs the
-        # ESN exchange alone (pack + standardize + advance/readout +
-        # scatter, weights broadcast across members like EnsembleHybrid)
-        try:
-            import jax
-            from speedyml.domain.decomposition import (pack_global,
-                                                       scatter_outputs)
-            from speedyml.domain.standardize import (standardize_in,
-                                                     standardize_out,
-                                                     unstandardize_out)
-            from speedyml.hybrid.state_io import GridState
-            from speedyml.reservoir.esn import predict_step
-            L = hm.layout
-            idx = jnp.asarray(L.input_index)
-            tidx = jnp.asarray(L.target_index)
-            win = fc._window_fn()
-            E = best_E
-            atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
-                             np.asarray(gs0.v),
-                             np.maximum(np.asarray(gs0.q), 1e-6)])
-            atmo_e = jnp.asarray((atmo[None] + 0.01 * rng.normal(
-                size=(E,) + atmo.shape)).astype(np.float32))
-            logp_e = jnp.asarray(np.broadcast_to(
-                np.asarray(gs0.logp), (E,) + gs0.logp.shape
-            ).astype(np.float32))
-            pr_e = jnp.zeros_like(logp_e)
-            ssj, tij = jnp.asarray(sst), jnp.asarray(tisr)
 
-            def _win_member(a, lp):
-                gs = GridState(t=a[0], u=a[1], v=a[2],
-                               q=jnp.maximum(a[3], 1e-6), logp=lp)
-                r = win(gs, surf, forcing)
-                return r.gs.t
+def measure_ensemble_attribution(E, n_steps=4, grid_compute="bfloat16"):
+    """Component attribution at width E (VERDICT r3/r4: where the ensemble
+    step saturates): vmapped SPEEDY window alone vs the ESN exchange alone
+    (pack + standardize + advance/readout + scatter, weights broadcast)."""
+    import jax
+    import jax.numpy as jnp
 
-            win_e = jax.jit(jax.vmap(_win_member))
-            _sync(win_e(atmo_e, logp_e))
-            t0 = time.perf_counter()
-            for _ in range(n_steps):
-                _w = win_e(atmo_e, logp_e)
-            _sync(_w)
-            dt_w = (time.perf_counter() - t0) / n_steps
+    from speedyml.domain.decomposition import pack_global, scatter_outputs
+    from speedyml.domain.standardize import (standardize_in, standardize_out,
+                                             unstandardize_out)
+    from speedyml.hybrid.forecast import SpeedyForecaster
+    from speedyml.hybrid.state_io import GridState
+    from speedyml.reservoir.esn import predict_step
 
-            params, stz = hm.params, hm.stz
+    sp, hm, trained, gs0 = _speedy_and_hm(grid_compute)
+    fc = SpeedyForecaster(sp, hours=6, physics=True)
+    surf, forcing, _, _ = fc._surf_forcing(sp.date)
+    L = hm.layout
+    idx = jnp.asarray(L.input_index)
+    tidx = jnp.asarray(L.target_index)
+    win = fc._window_fn()
+    rng = np.random.default_rng(1)
+    atmo = np.stack([np.asarray(gs0.t), np.asarray(gs0.u),
+                     np.asarray(gs0.v),
+                     np.maximum(np.asarray(gs0.q), 1e-6)])
+    atmo_e = jnp.asarray((atmo[None] + 0.01 * rng.normal(
+        size=(E,) + atmo.shape)).astype(np.float32))
+    logp_e = jnp.asarray(np.broadcast_to(
+        np.asarray(gs0.logp), (E,) + gs0.logp.shape).astype(np.float32))
+    pr_e = jnp.zeros_like(logp_e)
+    ssj = jnp.asarray(np.asarray(sp.coupler.sst_am, np.float32))
+    tij = jnp.asarray(np.full((sp.config.il, sp.config.ix), 300.0,
+                              np.float32))
 
-            def _esn_member(x, a, lp, pt):
-                gv = pack_global(L, a, lp, pt, ssj, tij)
-                u = standardize_in(stz, gv[idx])
-                mv = standardize_out(stz, gv[tidx])
-                x, out_std = predict_step(params, x, u, mv)
-                out = unstandardize_out(stz, out_std)
-                a2, lp2, pr2 = scatter_outputs(L, out)
-                return x, a2
-            esn_e = jax.jit(jax.vmap(_esn_member))
-            x_e = jnp.zeros((E, L.R, params.win.shape[1]), jnp.float32)
-            xe, ae = esn_e(x_e, atmo_e, logp_e, pr_e)
-            _sync(ae)
-            t0 = time.perf_counter()
-            for _ in range(n_steps):
-                xe, ae = esn_e(xe, atmo_e, logp_e, pr_e)
-            _sync(ae)
-            dt_e = (time.perf_counter() - t0) / n_steps
-            sweep["window_ms_at_best_E"] = round(dt_w * 1e3, 2)
-            sweep["esn_ms_at_best_E"] = round(dt_e * 1e3, 2)
-        except Exception as e:
-            print(f"# ensemble attribution failed: {e!r}", file=sys.stderr)
-    return best, best_E, sweep
+    def _win_member(a, lp):
+        gs = GridState(t=a[0], u=a[1], v=a[2],
+                       q=jnp.maximum(a[3], 1e-6), logp=lp)
+        r = win(gs, surf, forcing)
+        return r.gs.t
+
+    win_e = jax.jit(jax.vmap(_win_member))
+    _sync(win_e(atmo_e, logp_e))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        _w = win_e(atmo_e, logp_e)
+    _sync(_w)
+    dt_w = (time.perf_counter() - t0) / n_steps
+
+    params, stz = hm.params, hm.stz
+
+    def _esn_member(x, a, lp, pt):
+        gv = pack_global(L, a, lp, pt, ssj, tij)
+        u = standardize_in(stz, gv[idx])
+        mv = standardize_out(stz, gv[tidx])
+        x, out_std = predict_step(params, x, u, mv)
+        out = unstandardize_out(stz, out_std)
+        a2, lp2, pr2 = scatter_outputs(L, out)
+        return x, a2
+    esn_e = jax.jit(jax.vmap(_esn_member))
+    x_e = jnp.zeros((E, L.R, params.win.shape[1]), jnp.float32)
+    xe, ae = esn_e(x_e, atmo_e, logp_e, pr_e)
+    _sync(ae)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        xe, ae = esn_e(xe, atmo_e, logp_e, pr_e)
+    _sync(ae)
+    dt_e = (time.perf_counter() - t0) / n_steps
+    return dt_w, dt_e
 
 
 def bench_fastloop(n_chunks=3, chunk=28):
     """Production chunked prediction loop (hybrid.fastloop): seconds per
     hybrid step of a full-physics K-step scanned chunk, steady state
-    (first chunk = compile, excluded). This is the number that describes
-    the workload users actually run (VERDICT r3: the per-step loop paid
-    13.3 s/step in host round trips)."""
+    (first chunk = compile, excluded)."""
     from speedyml.core.calendar import ModelDate
     from speedyml.hybrid.fastloop import ScanHybridRunner
 
@@ -459,86 +484,215 @@ def bench_train_block():
     return None, None
 
 
+# ========================================================================
+# stages (each runs in its own subprocess; emit() after EVERY measurement)
+# ========================================================================
+
+def stage_hybrid():
+    """Primary metric + dtype variants, trained weights when present."""
+    gps, step_s, trained = bench_hybrid_step()
+    emit({"hybrid_ms_per_step": round(step_s * 1e3, 2),
+          "hybrid_weights": "trained" if trained else "random",
+          "_gps_float32": round(gps, 1)})
+    for name, kw in (("bf16", dict(grid_compute="bfloat16")),
+                     ("bf16_wout", dict(wout_dtype="bfloat16")),
+                     ("bf16_both", dict(grid_compute="bfloat16",
+                                        wout_dtype="bfloat16"))):
+        try:
+            g, s, _ = bench_hybrid_step(**kw)
+            emit({f"hybrid_ms_per_step_{name}": round(s * 1e3, 2),
+                  f"_gps_{name}": round(g, 1)})
+        except Exception as e:
+            emit({f"hybrid_ms_per_step_{name}_error": repr(e)[:120]})
+
+
+def stage_hybrid_random():
+    """Regression attribution (VERDICT r3/r4): same program with random
+    weights isolates weight-content effects; the r2-style program (identity
+    stats + zero precip) isolates the program change since r2."""
+    _, s_rand, _ = bench_hybrid_step(force_random=True)
+    emit({"hybrid_ms_per_step_random_weights": round(s_rand * 1e3, 2)})
+    _, s_r2, _ = bench_hybrid_step(force_random=True, r2_program=True)
+    emit({"hybrid_ms_per_step_r2_program": round(s_r2 * 1e3, 2)})
+
+
+def stage_fastloop():
+    fl_s, fl_aborted = bench_fastloop()
+    emit({"fastloop_s_per_step": round(fl_s, 3),
+          "fastloop_aborted": fl_aborted})
+
+
+def stage_ensemble(wout_dtype):
+    """E sweep, ascending, within one process: per-E results emit() as they
+    land, and the FIRST failure ends the stage immediately (an in-process
+    OOM poisons later allocations on this backend — nothing runs after)."""
+    setup = _ensemble_setup(wout_dtype=wout_dtype)
+    wout_bytes = int(np.prod(setup[1].params.wout.shape)) * (
+        2 if wout_dtype == "bfloat16" else 4)
+    e_max = ensemble_budget(wout_bytes)
+    ens_list = sorted({e for e in (16, 32, 48, 64, 80, 96, 128)
+                       if e < e_max} | {e_max})
+    tag = "bf16_wout" if wout_dtype == "bfloat16" else "f32"
+    emit({f"ensemble_{tag}_budget_E_max": e_max,
+          f"ensemble_{tag}_bank_gb": round(wout_bytes / 2**30, 2)})
+    best, best_E = 0.0, 0
+    for E in ens_list:
+        try:
+            gps = measure_ensemble_E(setup, E)
+        except Exception as e:
+            emit({f"ensemble_{tag}_sweep_{E}": "OOM",
+                  f"ensemble_{tag}_oom_detail": repr(e)[:80]})
+            break                 # allocator is poisoned; exit the stage
+        emit({f"ensemble_{tag}_sweep_{E}": round(gps, 1)})
+        if gps > best:
+            best, best_E = gps, E
+    emit({f"ensemble_{tag}_best_gps": round(best, 1),
+          f"ensemble_{tag}_best_E": best_E})
+
+
+def stage_ens_attr(E):
+    dt_w, dt_e = measure_ensemble_attribution(E)
+    emit({"ensemble_window_ms_at_best_E": round(dt_w * 1e3, 2),
+          "ensemble_esn_ms_at_best_E": round(dt_e * 1e3, 2),
+          "ensemble_attr_E": E})
+
+
+def stage_drycore():
+    dry_f32, e32 = bench_dry_core(grid_compute="float32")
+    emit({"dry_core_f32": round(dry_f32, 1), "_dry_ens_f32": e32})
+    dry_bf16, e16 = bench_dry_core(grid_compute="bfloat16")
+    emit({"dry_core_bf16": round(dry_bf16, 1), "_dry_ens_bf16": e16})
+    emit({"dry_core_ens": e32 if dry_f32 >= dry_bf16 else e16})
+
+
+STAGES = {
+    "hybrid": stage_hybrid,
+    "hybrid_random": stage_hybrid_random,
+    "fastloop": stage_fastloop,
+    "ens_f32": lambda: stage_ensemble("float32"),
+    "ens_bf16": lambda: stage_ensemble("bfloat16"),
+    "drycore": stage_drycore,
+}
+
+
+# ========================================================================
+# orchestrator
+# ========================================================================
+
+def run_stage(name, out, extra_args=(), timeout=2400):
+    """One stage subprocess; merge its STAGE_JSON lines into `out` (and the
+    partial file) AS THEY ARRIVE, so even a hung-then-killed stage keeps
+    everything it measured."""
+    import threading
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name,
+           *extra_args]
+    t0 = time.time()
+    got = 0
+    try:
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        # hard watchdog: a wedged tunnel hangs stages with NO output, so
+        # the timeout must not depend on lines arriving
+        timed_out = threading.Event()
+
+        def _kill():
+            timed_out.set()
+            p.kill()
+        watchdog = threading.Timer(timeout, _kill)
+        watchdog.start()
+        try:
+            for line in p.stdout:
+                if line.startswith("STAGE_JSON "):
+                    out.update(json.loads(line[len("STAGE_JSON "):]))
+                    got += 1
+                    with open(PARTIAL_PATH, "w") as f:
+                        json.dump(out, f)
+            rc = p.wait(timeout=60)
+            if timed_out.is_set():
+                out[f"{name}_error"] = f"timeout {timeout}s"
+            elif rc != 0:
+                out[f"{name}_error"] = f"rc={rc}"
+        finally:
+            watchdog.cancel()
+            if p.poll() is None:
+                p.kill()
+    except Exception as e:
+        out[f"{name}_error"] = repr(e)[:120]
+    print(f"# stage {name}: {got} results, {time.time()-t0:.0f}s"
+          + (f" [{out.get(f'{name}_error')}]" if f"{name}_error" in out
+             else ""), file=sys.stderr)
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(out, f)
+
+
 def main():
     out = {}
-    hybrid_gps, step_s, trained = bench_hybrid_step()
-    out["hybrid_ms_per_step"] = round(step_s * 1e3, 2)
-    out["hybrid_mode"] = "float32"
-    out["hybrid_weights"] = "trained" if trained else "random"
-    # fast paths: bf16 grid compute for the SPEEDY window (spectral state
-    # stays f32) and bf16-stored wout (f32 accumulation) for the readout's
-    # HBM stream; tracked value = best mode
-    hyb16, step16, _ = bench_hybrid_step(grid_compute="bfloat16")
-    out["hybrid_ms_per_step_bf16"] = round(step16 * 1e3, 2)
-    if hyb16 > hybrid_gps:
-        hybrid_gps, out["hybrid_mode"] = hyb16, "bfloat16-grid"
-    hybw, stepw, _ = bench_hybrid_step(wout_dtype="bfloat16")
-    out["hybrid_ms_per_step_bf16_wout"] = round(stepw * 1e3, 2)
-    if hybw > hybrid_gps:
-        hybrid_gps, out["hybrid_mode"] = hybw, "bfloat16-wout"
-    # the two fast paths touch disjoint streams (window grid compute vs
-    # readout HBM) — the combination is the throughput mode
-    hybb, stepb, _ = bench_hybrid_step(grid_compute="bfloat16",
-                                       wout_dtype="bfloat16")
-    out["hybrid_ms_per_step_bf16_both"] = round(stepb * 1e3, 2)
-    if hybb > hybrid_gps:
-        hybrid_gps, out["hybrid_mode"] = hybb, "bfloat16-grid+wout"
-
-    if trained:
-        # regression attribution (VERDICT r3): same program with random
-        # weights isolates weight-content/layout effects; the r2-style
-        # program (identity stats + zero precip) isolates the program
-        # change between the r2 and r3 measurements
-        _, step_rand, _ = bench_hybrid_step(force_random=True)
-        out["hybrid_ms_per_step_random_weights"] = round(step_rand * 1e3, 2)
-        _, step_r2, _ = bench_hybrid_step(force_random=True,
-                                          r2_program=True)
-        out["hybrid_ms_per_step_r2_program"] = round(step_r2 * 1e3, 2)
-        _CACHE.pop("hm_random", None)     # release 3.7 GB of HBM
-
-    fl_s, fl_aborted = bench_fastloop()
-    out["fastloop_s_per_step"] = round(fl_s, 3)
-    out["fastloop_aborted"] = fl_aborted
-
-    ens_gps, ens_E, ens_sweep = bench_hybrid_ensemble()
-    out["hybrid_ensemble_gps"] = round(ens_gps, 1)
-    out["hybrid_ensemble_E"] = ens_E
-    out["hybrid_ensemble_sweep"] = ens_sweep
-    # bf16-stored wout halves both the resident bank and the readout
-    # stream — extends the feasible E past the f32 HBM ceiling
-    ens16, ens16_E, ens16_sweep = bench_hybrid_ensemble(
-        ens_list=(96, 128, 192), wout_dtype="bfloat16", attribution=False)
-    out["hybrid_ensemble_sweep_bf16_wout"] = ens16_sweep
-    if ens16 > ens_gps:
-        out["hybrid_ensemble_gps"] = round(ens16, 1)
-        out["hybrid_ensemble_E"] = ens16_E
-        out["hybrid_ensemble_mode"] = "bfloat16-wout"
-
-    dry_f32, ens32 = bench_dry_core(grid_compute="float32")
-    dry_bf16, ens16 = bench_dry_core(grid_compute="bfloat16")
-    out["dry_core_f32"] = round(dry_f32, 1)
-    out["dry_core_bf16"] = round(dry_bf16, 1)
-    out["dry_core_ens"] = ens32 if dry_f32 >= dry_bf16 else ens16
-
+    run_stage("hybrid", out)
+    run_stage("hybrid_random", out)
+    run_stage("fastloop", out)
+    run_stage("ens_f32", out)
+    run_stage("ens_bf16", out)
+    # attribution at the best measured width (its own process: it follows
+    # a sweep whose end state may be a poisoned allocator)
+    best_E = max(out.get("ensemble_f32_best_E", 0),
+                 out.get("ensemble_bf16_wout_best_E", 0))
+    if best_E:
+        run_stage("ens_attr", out, extra_args=("--e", str(best_E)))
+    run_stage("drycore", out)
     tb_s, tb_T = bench_train_block()
     if tb_s is not None:
         out["train_block_s"] = round(tb_s, 2)
         out["train_block_samples"] = tb_T
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(out, f)
 
-    # baseline: BENCH_BASELINE.json holds this framework's own earlier
-    # rounds' numbers (the reference publishes none) — vs_baseline is
-    # self-improvement, like-for-like per metric
-    baseline = dry_base = None
+    # primary metric: best hybrid-step mode
+    gp = 96 * 48 * 8
+    modes = {"float32": out.get("hybrid_ms_per_step"),
+             "bfloat16-grid": out.get("hybrid_ms_per_step_bf16"),
+             "bfloat16-wout": out.get("hybrid_ms_per_step_bf16_wout"),
+             "bfloat16-grid+wout": out.get("hybrid_ms_per_step_bf16_both")}
+    modes = {k: v for k, v in modes.items() if v}
+    if not modes:
+        print(json.dumps({"metric":
+                          "t30l8_hybrid_step_gridpoints_per_s_per_chip",
+                          "value": None, "unit": "gridpoint-steps/s/chip",
+                          "vs_baseline": None, "error": "no hybrid metric",
+                          **out}))
+        return 1
+    best_mode = min(modes, key=modes.get)
+    hybrid_gps = gp / (modes[best_mode] * 1e-3)
+    out["hybrid_mode"] = best_mode
+
+    # ensemble best across sweeps
+    eb = {"f32": out.get("ensemble_f32_best_gps", 0) or 0,
+          "bfloat16-wout": out.get("ensemble_bf16_wout_best_gps", 0) or 0}
+    if max(eb.values()) > 0:
+        m = max(eb, key=eb.get)
+        out["hybrid_ensemble_gps"] = eb[m]
+        out["hybrid_ensemble_E"] = out.get(
+            "ensemble_f32_best_E" if m == "f32" else
+            "ensemble_bf16_wout_best_E")
+        out["hybrid_ensemble_mode"] = m
+
+    baseline = dry_base = r3_ms = None
     try:
         with open("BENCH_BASELINE.json") as f:
             b = json.load(f)
             baseline = b.get("hybrid_value")
             dry_base = b.get("value")       # r1 dry-core figure
+            r3_ms = b.get("hybrid_ms_r3")
     except Exception:
         pass
     vs = hybrid_gps / baseline if baseline else 1.0
-    if dry_base:
-        out["dry_core_vs_r1"] = round(max(dry_f32, dry_bf16) / dry_base, 3)
+    if dry_base and out.get("dry_core_f32"):
+        out["dry_core_vs_r1"] = round(
+            max(out.get("dry_core_f32", 0), out.get("dry_core_bf16", 0))
+            / dry_base, 3)
+    if r3_ms:                       # step-time trend vs r3 (VERDICT r4 W#3)
+        out["hybrid_step_vs_r3_ms"] = round(
+            r3_ms / modes[best_mode], 3)
 
     print(json.dumps({
         "metric": "t30l8_hybrid_step_gridpoints_per_s_per_chip",
@@ -549,7 +703,17 @@ def main():
                          " (reference publishes no throughput numbers)",
         **out,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None)
+    ap.add_argument("--e", type=int, default=64)
+    a = ap.parse_args()
+    if a.stage is None:
+        sys.exit(main())
+    if a.stage == "ens_attr":
+        stage_ens_attr(a.e)
+    else:
+        STAGES[a.stage]()

@@ -1,0 +1,145 @@
+"""Evaluate the synthetic-ENSO coupled run against the imposed forcing.
+
+The coupled-variability demonstration (VERDICT r4, Next #2): the truth
+trajectory was forced with a deterministic ENSO-like SST anomaly
+(coupler.anomaly.SyntheticEnso), the ocean reservoir was trained on it, and
+the coupled loop then free-ran with NO imposed forcing. This script measures
+whether the free-running coupled system LEARNED and SUSTAINS the
+variability — the tpu-native analog of the reference's JAMES-2023 coupled
+ENSO result (src/mod_slab_ocean_reservoir.f90:1268-1363, feedback
+cpl_sea.f90:38-44):
+
+  * Nino-3.4 anomaly (run SST minus the date-matched climatological sea
+    boundary) std over the run vs the imposed forcing's std over a
+    matched-length window — pass if within 2x;
+  * weekly lag-1 autocorrelation (anomaly persistence across the ocean's
+    week boundaries);
+  * phase memory: correlation of the first weeks with the deterministic
+    continuation of the imposed forcing (the ocean reservoir was
+    synchronized on the forced training data, so early weeks should track
+    the oscillation's phase);
+  * the same 30-day-highpass "subseasonal std" score_run.py reports, for a
+    like-for-like comparison with the r4 climatological run's 0.013 K.
+
+Usage:
+  python scripts/enso_eval.py --nc data/enso_run.nc \
+      --cache data/refscale_enso.npz --out data/enso_eval.json
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def highpass_std(series, win):
+    """std after removing a centered running mean (score_run.py method)."""
+    n = len(series)
+    kernel = np.ones(win) / win
+    seasonal = np.convolve(np.pad(series, win // 2, mode="edge"), kernel,
+                           mode="valid")[:n]
+    return float((series - seasonal).std())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nc", default="data/enso_run.nc")
+    ap.add_argument("--cache", default="data/refscale_enso.npz")
+    ap.add_argument("--holdout", type=int, default=124)
+    ap.add_argument("--enso-seed", type=int, default=7)
+    ap.add_argument("--enso-amp", type=float, default=1.2)
+    ap.add_argument("--enso-period-days", type=float, default=480.0)
+    ap.add_argument("--skip-days", type=int, default=10)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from scipy.io import netcdf_file
+
+    from speedyml.core.calendar import ModelDate, datetime_from_hours
+    from speedyml.core.config import ModelConfig
+    from speedyml.coupler.anomaly import SyntheticEnso
+    from speedyml.coupler.daily import interp_sea
+    from speedyml.model import Speedy
+    from speedyml.utils.analysis import box_mean
+
+    # run SST + grid
+    f = netcdf_file(args.nc, "r", mmap=True)
+    lat = np.asarray(f.variables["Lat"][:], np.float64)
+    lon = np.asarray(f.variables["Lon"][:], np.float64)
+    S = f.variables["SST"]
+    n = S.shape[0]
+
+    # run start date = last training sample of the cache
+    z = np.load(args.cache, mmap_mode="r")
+    hours = np.asarray(z["hours"])
+    h0 = int(hours[len(hours) - args.holdout - 1])
+
+    sp = Speedy(ModelConfig(dtype="float32"))
+    enso = SyntheticEnso(lat, lon, sp.clim.fmask_s, seed=args.enso_seed,
+                         amp=args.enso_amp,
+                         period_days=args.enso_period_days)
+    box = dict(lat_range=(-5.0, 5.0), lon_range=(190.0, 240.0))
+    pat_box = box_mean(enso.pattern, lat, lon, **box)
+
+    # nino-3.4 anomaly of the run vs the date-matched climatological sea
+    # boundary (ice-blended, like the run's own sst_clim), plus the
+    # imposed forcing's deterministic continuation at the same dates
+    i0 = args.skip_days * 4
+    nino_run = np.empty(n - i0)
+    nino_imp = np.empty(n - i0)
+    for i in range(i0, n):
+        h = h0 + (i + 1) * 6
+        y, m, d, hh = datetime_from_hours(h)
+        date = ModelDate(y, m, d, hh)
+        sstcl, sicecl, ticecl = interp_sea(sp.clim, date.imonth, date.tmonth)
+        blend = sstcl + sicecl * (ticecl - sstcl)
+        nino_run[i - i0] = box_mean(np.asarray(S[i], np.float64) - blend,
+                                    lat, lon, **box)
+        nino_imp[i - i0] = enso.index_at(h) * pat_box
+
+    # the imposed forcing's std over the TRAINING record (what the ocean
+    # actually saw), same nino-box projection
+    h_train = np.asarray(hours[: len(hours) - args.holdout], np.float64)
+    imp_train = np.array([enso.index_at(h) * pat_box for h in h_train])
+
+    w = np.arange(0, len(nino_run) - 27, 28)        # weekly samples
+    wk = nino_run[w]
+    lag1 = float(np.corrcoef(wk[:-1], wk[1:])[0, 1]) if len(wk) > 3 else None
+    n_phase = min(20 * 28, len(nino_run))           # first ~20 weeks
+    phase_corr = float(np.corrcoef(nino_run[:n_phase],
+                                   nino_imp[:n_phase])[0, 1])
+
+    run_std = float(nino_run.std())
+    imp_std = float(imp_train.std())
+    ratio = run_std / imp_std if imp_std > 0 else None
+    out = {
+        "nc": args.nc, "steps": int(n), "sim_days": n / 4,
+        "nino34_run_anom_std_K": round(run_std, 3),
+        "nino34_imposed_train_std_K": round(imp_std, 3),
+        "run_over_imposed_std": round(ratio, 3) if ratio else None,
+        "nino34_run_range_K": [round(float(nino_run.min()), 2),
+                               round(float(nino_run.max()), 2)],
+        "nino34_imposed_range_K": [round(float(imp_train.min()), 2),
+                                   round(float(imp_train.max()), 2)],
+        "weekly_lag1_autocorr": round(lag1, 3) if lag1 is not None else None,
+        "phase_corr_first_20wk_vs_imposed": round(phase_corr, 3),
+        "subseasonal_std_run_K": round(highpass_std(nino_run, 120), 3),
+        "subseasonal_std_imposed_K": round(
+            highpass_std(nino_imp, 120), 3),
+        "ok": bool(ratio is not None and 0.5 <= ratio <= 2.0),
+    }
+    print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+    print("ENSO EVAL " + ("OK" if out["ok"] else "FAILED"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,10 +197,11 @@ class TrajectoryRunner:
     coupler per window exactly as the reference re-launches SPEEDY)."""
 
     def __init__(self, speedy: Speedy, hours: int = 6,
-                 truth_physics: bool = True):
+                 truth_physics: bool = True, sst_anom_fn=None):
         self.speedy = speedy
         self.fc = SpeedyForecaster(speedy, hours=hours, physics=truth_physics)
         self.hours = hours
+        self.sst_anom_fn = sst_anom_fn   # see FusedDataGenerator
         self.date: Optional[ModelDate] = None
         self.gs: Optional[GridState] = None
         self.cs = None
@@ -262,6 +263,9 @@ class TrajectoryRunner:
         if self._hour >= 24:
             daily_coupler_update(sp.clim, self.cs, self.date,
                                  *self._day_flux)
+            if self.sst_anom_fn is not None:
+                from ..coupler.anomaly import apply_sst_anomaly
+                apply_sst_anomaly(self.cs, self.sst_anom_fn(self.date))
             self._hour = 0
             self._day_flux = None
         return self.current_sample(precip_mm=res.precip_mm)
@@ -294,11 +298,16 @@ class FusedDataGenerator:
     """
 
     def __init__(self, speedy: Speedy, hours: int = 6,
-                 truth_physics: bool = True):
+                 truth_physics: bool = True, sst_anom_fn=None):
         assert 24 % hours == 0
         self.speedy = speedy
         self.hours = hours
         self.wpd = 24 // hours           # windows per day
+        # optional imposed SST-anomaly forcing (coupler.anomaly): applied to
+        # the coupler's atmosphere-facing SST after every daily update — the
+        # truth trajectory then FEELS the anomaly through the surface fluxes
+        # and qcorh, and the recorded sst samples carry it into training
+        self.sst_anom_fn = sst_anom_fn
         # truth_physics=False (dry truth) exists for cross-implementation
         # equivalence tests: full-physics windows are numerically sensitive
         # to compilation context (discrete convection/condensation triggers
@@ -320,6 +329,9 @@ class FusedDataGenerator:
             sp.run_days(spinup_days)
         self.date = sp.date
         self.cs = sp.coupler
+        if self.sst_anom_fn is not None:
+            from ..coupler.anomaly import apply_sst_anomaly
+            apply_sst_anomaly(self.cs, self.sst_anom_fn(self.date))
         self.gs = extract(sp.dy, sp.state, level=0)
 
     def _build_day(self):
@@ -442,6 +454,9 @@ class FusedDataGenerator:
             assert bool(np.asarray(safe)), \
                 f"truth trajectory tripped the safety gate on day {di}"
             daily_coupler_update(sp.clim, self.cs, self.date, *fx_host)
+            if self.sst_anom_fn is not None:
+                from ..coupler.anomaly import apply_sst_anomaly
+                apply_sst_anomaly(self.cs, self.sst_anom_fn(self.date))
             sst_list[-1] = np.asarray(self.cs.sst_am)   # post-update sample
             pending = (gs_st, pr_st, dry_st, sst_list, tisr_list, hour_list)
             if verbose and (di + 1) % verbose == 0:

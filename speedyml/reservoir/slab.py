@@ -259,7 +259,7 @@ class OceanModel:
                            jnp.asarray(gv_weekly, jnp.float32))
 
     def calibrate_gate(self, gv_truth: np.ndarray, L: RegionLayout,
-                      discard: int = 8):
+                      discard: int = 8, train_anom_std=None):
         """Set the compose_sst anomaly gate from OPEN-LOOP residuals.
 
         Runs teacher-forced one-week-ahead predictions over the training
@@ -268,7 +268,18 @@ class OceanModel:
         is then clipped to 3x the model's demonstrated skill — the analog
         of the reference's 6 K acceptance gate (cpl_sea.f90:38-44)
         recalibrated to the training regime's actual variance.
-        Returns (residual_std_grid, open_loop_rms, persistence_rms)."""
+
+        train_anom_std: optional (il, ix) per-gridpoint std of the TRAINING
+        SST's deviation from the date-matched climatological boundary (see
+        training_anomaly_std). When the truth carries real anomalies (the
+        observed-SST / synthetic-ENSO regime), a skilful model's residuals
+        are SMALL — gating on them alone would clip the very anomalies the
+        ocean was trained to produce. The gate scale is therefore
+        max(residual std, training anomaly std): admit what the coupled
+        system has seen in training, never less than the model's noise
+        floor. In the climatological regime (icsea=0) train_anom_std ~ 0
+        over open water, reproducing the r4 behaviour exactly.
+        Returns (gate_std_grid, open_loop_rms, persistence_rms)."""
         spw = self.steps_per_week
         gv_w = weekly_ocean_inputs(gv_truth, spw, L)
         Tw = gv_w.shape[0]
@@ -286,6 +297,8 @@ class OceanModel:
         g_ss0 = L.gv_sizes["sst"][0]
         tgt = self.ol.target_index[:, :ncore] - g_ss0
         grid.reshape(-1)[tgt.reshape(-1)] = per_pt.reshape(-1)
+        if train_anom_std is not None:
+            grid = np.maximum(grid, np.asarray(train_anom_std, np.float64))
         self.anom_std = grid
         ol_rms = float(np.sqrt((resid_sst[:, self.active] ** 2).mean()))
         p_rms = float(np.sqrt((pers[:, self.active] ** 2).mean()))
@@ -329,6 +342,41 @@ class OceanModel:
         # temperatures by +34 K at the first ocean step and destabilized
         # the whole coupled system.
         return np.clip(grid, 200.0, 306.0)
+
+
+def training_anomaly_std(clim, hours: np.ndarray, sst_series: np.ndarray,
+                         subsample: int = 4) -> np.ndarray:
+    """(il, ix) per-gridpoint std [K] of the truth SST's deviation from the
+    date-matched climatological sea boundary — the training-distribution
+    anomaly scale for the compose_sst gate (see calibrate_gate).
+
+    Open water only: where the climatological ice fraction ever exceeds 5%
+    the result is zeroed, because there the ice-blended sst_am deviates
+    from the climatological blend through the PROGNOSTIC ice temperature,
+    which is not an SST anomaly the ocean reservoir should be licensed to
+    feed back."""
+    from ..coupler.daily import interp_sea
+    from ..core.calendar import ModelDate, datetime_from_hours
+
+    h = np.asarray(hours)[::subsample]
+    ss = np.asarray(sst_series, np.float64)[::subsample]
+    dev_sq = np.zeros(ss.shape[1:], np.float64)
+    dev_mean = np.zeros_like(dev_sq)
+    ice_any = np.zeros_like(dev_sq, dtype=bool)
+    for i in range(len(h)):
+        y, m, d, hh = datetime_from_hours(int(h[i]))
+        date = ModelDate(y, m, d, hh)
+        sstcl, sicecl, ticecl = interp_sea(clim, date.imonth, date.tmonth)
+        blend = sstcl + sicecl * (ticecl - sstcl)
+        dev = ss[i] - blend
+        dev_mean += dev
+        dev_sq += dev * dev
+        ice_any |= sicecl > 0.05
+    n = max(len(h), 1)
+    var = dev_sq / n - (dev_mean / n) ** 2
+    std = np.sqrt(np.maximum(var, 0.0))
+    std[ice_any] = 0.0
+    return std
 
 
 def train_ocean(L: RegionLayout, rcfg: ReservoirConfig,

@@ -199,3 +199,98 @@ def test_fastloop_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(res["atmo"], full["atmo"][4:], rtol=1e-4,
                                atol=1e-4)
     np.testing.assert_allclose(res["sst"], full["sst"][4:], atol=1e-5)
+
+
+def _stub_scan(hm, L, clim, chunk, tisr_spike_at=None):
+    """ml_only ScanHybridRunner with stubbed boundary fields; optionally
+    returns a huge TISR at one global step index (abort-test forcing)."""
+    calls = {"n": 0}
+
+    class _Scan(ScanHybridRunner):
+        def _host_step_fields(self, date):
+            i = calls["n"]
+            calls["n"] += 1
+            tisr = np.zeros((L.il, L.ix))
+            if tisr_spike_at is not None and i == tisr_spike_at:
+                tisr = np.full((L.il, L.ix), 1e6)
+            return dict(sst_clim=clim, tisr=tisr)
+
+    s = _Scan(hm, None, chunk=chunk)
+    s._np_dtype = np.float64
+    return s
+
+
+def test_fastloop_stream_mode():
+    """stream=True: every step reaches the writer, host keeps only summary
+    stats, and the summary agrees with the kept-trajectory run (VERDICT r4
+    Weak #5: long runs must not accumulate the trajectory in RAM)."""
+    L, hm, om, x, atmo0, logp0, pr0, sst_last = _ocean_setup()
+    clim = sst_last.astype(np.float64)
+    n = 8
+
+    kept = _stub_scan(hm, L, clim, chunk=4).run(
+        x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), n)
+
+    writes = []
+
+    class _W:
+        def append(self, atmo, logp, precip_mm=None, sst=None):
+            writes.append((atmo.copy(), sst.copy()))
+
+    out = _stub_scan(hm, L, clim, chunk=4).run(
+        x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), n,
+        writer=_W(), stream=True)
+
+    assert out["atmo"] is None              # dropped, not kept
+    assert out["steps_done"] == n
+    assert len(writes) == n
+    s = out["summary"]
+    assert s["steps"] == n
+    ka = kept["atmo"]
+    assert np.isclose(s["t_min"], ka[:, 0].min())
+    assert np.isclose(s["t_max"], ka[:, 0].max())
+    assert np.isclose(s["u_min"], ka[:, 1].min())
+    assert np.isclose(s["sst_max"], kept["sst"].max())
+    assert np.isclose(
+        s["sst_drift_K"], np.abs(kept["sst"][-1] - kept["sst"][0]).max())
+    # the streamed steps are the same trajectory
+    np.testing.assert_allclose(writes[-1][0], ka[-1], rtol=1e-6)
+
+
+def test_fastloop_abort_semantics():
+    """Mid-chunk safety abort: steps_done/date/trajectory truncate AT the
+    abort step, reservoir state is withheld, and the returned last state is
+    the last SAFE step (VERDICT r4 Weak #6: the carry used to be up to K-1
+    steps past the abort)."""
+    L, hm, om, x, atmo0, logp0, pr0, sst_last = _ocean_setup()
+    clim = sst_last.astype(np.float64)
+    n, j = 8, 5                              # abort at global step index 5
+
+    s = _stub_scan(hm, L, clim, chunk=8, tisr_spike_at=j)
+    s._ml_safe_fn = lambda a, lp, xs: xs.tisr.max() < 1e5
+    out = s.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), n)
+
+    assert out["aborted"]
+    assert out["steps_done"] == j
+    assert len(out["atmo"]) == j             # unsafe step never surfaces
+    assert out["x"] is None                  # only exists at chunk ends
+    d = out["date"]                          # date0 + j * 6 h
+    assert (d.iyear, d.imonth, d.iday, d.ihour) == (1999, 1, 2, 6)
+    np.testing.assert_allclose(out["atmo_last"], out["atmo"][-1])
+    assert np.all(np.isfinite(out["atmo_last"]))
+
+
+def test_fastloop_checkpoint_absolute_step(tmp_path):
+    """Checkpoints from a resumed run carry ABSOLUTE steps (step0 +
+    progress), so retry-with-resume integrates the right remaining length
+    (ADVICE r4 #1)."""
+    from speedyml.io.checkpoint import load_prediction
+
+    L, hm, om, x, atmo0, logp0, pr0, sst_last = _ocean_setup()
+    clim = sst_last.astype(np.float64)
+    ck = str(tmp_path / "abs.ckpt.npz")
+    _stub_scan(hm, L, clim, chunk=4).run(
+        x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), 4,
+        checkpoint_path=ck, checkpoint_every=4, step0=100)
+    st = load_prediction(ck)
+    assert st["step"] == 104
