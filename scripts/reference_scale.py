@@ -416,9 +416,19 @@ def phase_coupled(args):
     # peak RSS is then independent of run length (VERDICT r4, Weak #5)
     stream = (args.stream if args.stream is not None
               else args.fc_steps >= 1456)
+    def _apply_debias(runner):
+        if args.precip_debias:
+            zb = np.load(args.precip_debias)
+            runner.precip_debias = (
+                0.5 * np.asarray(zb["log_resid_std"], np.float64) ** 2)
+            log(f"precip output debias on: max sigma^2/2 = "
+                f"{float(runner.precip_debias.max()):.2f} "
+                f"({args.precip_debias})")
+
     if args.fast_loop:
         from speedyml.hybrid.fastloop import ScanHybridRunner
         hrun = ScanHybridRunner(hm, sp, physics=True)
+        _apply_debias(hrun)
         if resume:
             from speedyml.io.checkpoint import load_prediction
             st = load_prediction(ckpt)
@@ -440,6 +450,7 @@ def phase_coupled(args):
     else:
         fc_speedy = SpeedyForecaster(sp, hours=6, physics=True)
         hrun = HybridRunner(hm, fc_speedy)
+        _apply_debias(hrun)
         out = hrun.run(x, atmo0, logp0, pr0, date0, args.fc_steps,
                        ocean=ocean, x_ocean=x_ocean, writer=writer,
                        checkpoint_path=ckpt,
@@ -454,6 +465,7 @@ def phase_coupled(args):
            "wall_s": round(dt, 1), "aborted": bool(out["aborted"]),
            "loop": "fast" if args.fast_loop else "perstep",
            "resumed": bool(resume), "streamed": bool(stream),
+           "precip_debias": bool(args.precip_debias),
            "s_per_step": round(dt / max(nsteps, 1), 3),
            "peak_rss_gb": round(peak_rss_gb(), 1)}
     if a is not None:
@@ -554,6 +566,11 @@ def main():
                     action=argparse.BooleanOptionalAction,
                     help="coupled phase: resume from the run checkpoint "
                          "when present")
+    ap.add_argument("--precip-debias", default="",
+                    help="coupled phase: npz with log_resid_std (from "
+                         "diag_precip_bias.py); applies the output-side "
+                         "lognormal debias sigma^2/2 to the written "
+                         "precip (feedback dynamics untouched)")
     ap.add_argument("--stream", default=None,
                     action=argparse.BooleanOptionalAction,
                     help="coupled phase: stream trajectory chunks to the "

@@ -549,6 +549,12 @@ class HybridRunner:
         self.clim = clim if clim is not None else (fc.speedy.clim if fc else None)
         self.dy = dy if dy is not None else (fc.speedy.dy if fc else None)
         self.eps = hm.rcfg.precip_epsilon
+        # optional (il, ix) output-side lognormal debias for the precip
+        # channel: sigma^2/2 of the readout's log1p residual, subtracted
+        # before inversion so the WRITTEN mm is the debiased estimate of
+        # E[P] rather than exp-inflated (diag_precip_bias.py measures the
+        # field; feedback dynamics are untouched)
+        self.precip_debias = None
 
     def _sst_tisr(self, date: ModelDate):
         """Boundary SST (climatology; slab-ocean reservoir overrides later)
@@ -679,9 +685,14 @@ class HybridRunner:
             date.advance_hours(hm.rcfg.timestep)
             traj["atmo"].append(np.asarray(atmo))
             traj["logp"].append(np.asarray(logp))
-            traj["precip_mm"].append(
-                None if precip_t is None
-                else np.asarray(invert_precip(precip_t, self.eps)))
+            if precip_t is None:
+                pr_mm = None
+            else:
+                p_log = np.asarray(precip_t)
+                if self.precip_debias is not None:
+                    p_log = np.maximum(p_log - self.precip_debias, 0.0)
+                pr_mm = self.eps * np.expm1(np.maximum(p_log, 0.0))
+            traj["precip_mm"].append(pr_mm)
             traj["sst"].append(np.asarray(sst))
             if writer is not None:
                 writer.append(traj["atmo"][-1], traj["logp"][-1],

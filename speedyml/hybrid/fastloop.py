@@ -45,7 +45,7 @@ from ..dynamics.core import Forcing
 from ..physics.constants import PP
 from ..physics.driver import SurfaceDailyState
 from ..reservoir.esn import predict_step
-from .experiment import QMIN, SST_MIN, clamp_precip_t, invert_precip
+from .experiment import QMIN, SST_MIN, clamp_precip_t
 from .forecast import SpeedyForecaster
 from .state_io import GridState
 
@@ -116,6 +116,9 @@ class ScanHybridRunner:
         # analog of the window path's safety flag (the reference's invars
         # gate, mpires.f90:744); tests override for determinism.
         self._ml_safe_fn = None
+        # optional (il, ix) output-side precip debias (sigma^2/2 of the
+        # readout's log1p residual — see HybridRunner.precip_debias)
+        self.precip_debias = None
         if speedy is None:
             self.fc = None
             self._np_dtype = np.float32
@@ -377,8 +380,10 @@ class ScanHybridRunner:
             a_st, l_st, p_st, s_st, upto = p
             a = np.asarray(a_st)[:upto]
             lp = np.asarray(l_st)[:upto]
-            pr = np.asarray(invert_precip(p_st, hm.rcfg.precip_epsilon)
-                            )[:upto]
+            p_log = np.asarray(p_st)[:upto]
+            if self.precip_debias is not None:
+                p_log = np.maximum(p_log - self.precip_debias, 0.0)
+            pr = hm.rcfg.precip_epsilon * np.expm1(np.maximum(p_log, 0.0))
             ss = np.asarray(s_st)[:upto]
             if writer is not None:
                 for j in range(upto):

@@ -294,3 +294,22 @@ def test_fastloop_checkpoint_absolute_step(tmp_path):
         checkpoint_path=ck, checkpoint_every=4, step0=100)
     st = load_prediction(ck)
     assert st["step"] == 104
+
+
+def test_fastloop_precip_debias_output_only():
+    """precip_debias shifts ONLY the written mm (lognormal output
+    correction); the trajectory/feedback state is bit-identical."""
+    L, hm, om, x, atmo0, logp0, pr0, sst_last = _ocean_setup()
+    clim = sst_last.astype(np.float64)
+    base = _stub_scan(hm, L, clim, chunk=4).run(
+        x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), 4)
+    s = _stub_scan(hm, L, clim, chunk=4)
+    d = np.full((L.il, L.ix), 0.5)
+    s.precip_debias = d
+    out = s.run(x, atmo0, logp0, pr0, ModelDate(1999, 1, 1, 0), 4)
+    np.testing.assert_allclose(out["atmo"], base["atmo"], rtol=0, atol=0)
+    eps = hm.rcfg.precip_epsilon
+    base_log = np.log1p(base["precip_mm"] / eps)
+    expect = eps * np.expm1(np.maximum(base_log - d, 0.0))
+    np.testing.assert_allclose(out["precip_mm"], expect, rtol=1e-6)
+    assert np.all(out["precip_mm"] <= base["precip_mm"] + 1e-12)
