@@ -64,6 +64,18 @@ class ForecastWriter:
                                          ("Timestep", "Lat", "Lon"))
             self._sst.units = b"K"
         self._t = 0
+        self.with_precip = with_precip
+        self.with_sst = with_sst
+        # scipy writes the header + coordinate data once; appends then go
+        # through the O(1) record-slab appender (io.ncstream) — scipy's own
+        # record path is O(T^2) in memcpy AND file I/O (full rewrite per
+        # flush), which a 10-year run cannot pay. Neutralize the scipy
+        # object so its close()/__del__ can't rewrite the file later.
+        f.flush()
+        f.fp.close()
+        self._f = None
+        from .ncstream import RecordAppender
+        self._rec = RecordAppender(path)
 
     def append(self, atmo: np.ndarray, logp: np.ndarray,
                precip_mm: Optional[np.ndarray] = None,
@@ -71,19 +83,19 @@ class ForecastWriter:
         """atmo: (4, kx, il, ix) in (T, u, v, q) order; 2-D fields (il, ix)."""
         t = self._t
         for i, name in enumerate(VAR3D):
-            self._v3[name][t] = np.asarray(atmo[i], np.float32)
-        self._logp[t] = np.asarray(logp, np.float32)
-        if self._precip is not None and precip_mm is not None:
-            self._precip[t] = np.asarray(precip_mm, np.float32)
-        if self._sst is not None and sst is not None:
-            self._sst[t] = np.asarray(sst, np.float32)
+            self._rec.write(name, t, atmo[i])
+        self._rec.write("logp", t, logp)
+        if self.with_precip and precip_mm is not None:
+            self._rec.write("p6hr", t, precip_mm)
+        if self.with_sst and sst is not None:
+            self._rec.write("SST", t, sst)
         self._t += 1
-        self._f.flush()
+        self._rec.flush()        # numrecs patch: crashed runs keep records
 
     def close(self):
-        if self._f is not None:
-            self._f.close()
-            self._f = None
+        if self._rec is not None:
+            self._rec.close()
+            self._rec = None
 
     def __enter__(self):
         return self

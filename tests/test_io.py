@@ -138,3 +138,43 @@ def test_prediction_checkpoint_roundtrip(tmp_path):
     assert st["date"].iyear == 1999 and st["date"].ihour == 18
     assert st["step"] == 42
     np.testing.assert_array_equal(st["extra"]["sst"], logp)
+
+
+def test_ncstream_o1_append_roundtrip(tmp_path):
+    """The O(1) record appender (io.ncstream) produces files scipy reads
+    back exactly, keeps records on crash (no close), and its header
+    patching survives an empty-file create (VERDICT r4 Next #4: 10-year
+    runs cannot pay scipy's O(T^2) record path)."""
+    from scipy.io import netcdf_file
+
+    from speedyml.io.output import ForecastWriter, read_forecast
+
+    path = str(tmp_path / "stream.nc")
+    rng = np.random.default_rng(3)
+    kx, il, ix = 3, 4, 5
+    w = ForecastWriter(path, kx, il, ix, with_sst=True)
+    atmos, logps, prs, ssts = [], [], [], []
+    for t in range(7):
+        a = rng.normal(size=(4, kx, il, ix)).astype(np.float32)
+        lp = rng.normal(size=(il, ix)).astype(np.float32)
+        pr = rng.uniform(0, 5, size=(il, ix)).astype(np.float32)
+        ss = rng.uniform(270, 300, size=(il, ix)).astype(np.float32)
+        w.append(a, lp, precip_mm=pr, sst=ss)
+        atmos.append(a); logps.append(lp); prs.append(pr); ssts.append(ss)
+    # crash-incrementality: read BEFORE close
+    g = netcdf_file(path, "r", mmap=False)
+    assert g.variables["Temperature"].shape[0] == 7
+    np.testing.assert_allclose(np.asarray(g.variables["SST"][:]),
+                               np.stack(ssts), rtol=1e-7)
+    g.close()
+    w.close()
+    out = read_forecast(path)
+    np.testing.assert_allclose(out["Temperature"],
+                               np.stack([a[0] for a in atmos]), rtol=1e-7)
+    np.testing.assert_allclose(out["U-wind"],
+                               np.stack([a[1] for a in atmos]), rtol=1e-7)
+    np.testing.assert_allclose(out["logp"], np.stack(logps), rtol=1e-7)
+    np.testing.assert_allclose(out["p6hr"], np.stack(prs), rtol=1e-7)
+    # coordinate (non-record) variables intact after appends
+    assert out["Sigma_Level"].shape == (kx,)
+    assert out["Lat"].shape == (il,)
