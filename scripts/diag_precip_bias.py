@@ -85,30 +85,32 @@ def main():
     log(f"packed {gv_t.shape}")
 
     idx, tidx = hm._maps()
-    params, stz = hm.params, hm.stz
     s = L.gv_sizes
     p0, p1 = s["precip"]
 
     x = hm.synchronize(gv_t[:args.sync])
 
-    def body(x, inp):
-        gv, mgv = inp
-        u = standardize_in(stz, gv[idx])
-        mv = standardize_out(stz, mgv[tidx])
-        x, out_std = predict_step(params, x, u, mv)
-        out = unstandardize_out(stz, out_std)
-        _, _, pr_t = scatter_outputs(L, out)
-        return x, clamp_precip_t(pr_t, eps, cap)
-
+    # weights/stats enter as jit ARGUMENTS (HybridModel._build_step
+    # contract): closing over the 3.9 GB wout embeds it in the compile
+    # request, which the remote tunnel rejects (HTTP 413)
     @jax.jit
-    def run(x, gvs, mgvs):
+    def run(params, stz, x, gvs, mgvs):
+        def body(x, inp):
+            gv, mgv = inp
+            u = standardize_in(stz, gv[idx])
+            mv = standardize_out(stz, mgv[tidx])
+            x, out_std = predict_step(params, x, u, mv)
+            out = unstandardize_out(stz, out_std)
+            _, _, pr_t = scatter_outputs(L, out)
+            return x, clamp_precip_t(pr_t, eps, cap)
+
         return jax.lax.scan(body, x, (gvs, mgvs))
 
     gvs = jnp.asarray(gv_t[args.sync:-1], jnp.float32)
     mgvs = jnp.asarray(gv_m[args.sync + 1:], jnp.float32)
     # teacher-forced prediction at index t is valid at truth index t+1,
     # driven by the model forecast VALID at t+1 (m_* index convention)
-    _, pr_pred = run(x, gvs, mgvs)
+    _, pr_pred = run(hm.params, hm.stz, x, gvs, mgvs)
     pr_pred = np.asarray(pr_pred)                       # (T', il, ix) log1p
     log(f"open-loop readout done: {pr_pred.shape}")
 

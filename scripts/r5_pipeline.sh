@@ -109,12 +109,15 @@ phase data/hybrid98_results.json 2 logs/hybrid98.log "COUPLED PHASE OK" \
     --nc data/hybrid98_run.nc --out data/hybrid98_climate.json \
     >> logs/hybrid98.log 2>&1
 
-# ---- decade run (VERDICT r4 Next #4/#5: streamed, bounded RSS) ----------
+# ---- precip MOS calibration (host) + decade run (streamed) --------------
+phase data/precip_bias.npz 2 logs/make_debias.log "PRECIP DEBIAS OK" \
+    python scripts/make_precip_debias.py || exit 1
 phase data/coupled10y_results.json 5 logs/coupled10y.log \
     "COUPLED PHASE OK" \
     python scripts/reference_scale.py coupled --ocean-m 500 \
     --ocean-beta 3e-3 --fc-steps 14560 --out data/coupled10y_run.nc \
-    --results data/coupled10y_results.json || exit 1
+    --results data/coupled10y_results.json \
+    --precip-debias data/precip_bias.npz || exit 1
 [ -e data/coupled10y_climate.json ] || python scripts/score_run.py \
     --nc data/coupled10y_run.nc --out data/coupled10y_climate.json \
     >> logs/coupled10y.log 2>&1

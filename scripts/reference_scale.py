@@ -419,10 +419,14 @@ def phase_coupled(args):
     def _apply_debias(runner):
         if args.precip_debias:
             zb = np.load(args.precip_debias)
-            runner.precip_debias = (
-                0.5 * np.asarray(zb["log_resid_std"], np.float64) ** 2)
-            log(f"precip output debias on: max sigma^2/2 = "
-                f"{float(runner.precip_debias.max()):.2f} "
+            if "debias" in zb:       # calibrated MOS field (signed)
+                runner.precip_debias = np.asarray(zb["debias"], np.float64)
+            else:                    # fallback: lognormal sigma^2/2
+                runner.precip_debias = (
+                    0.5 * np.asarray(zb["log_resid_std"], np.float64) ** 2)
+            log(f"precip output debias on: range "
+                f"[{float(runner.precip_debias.min()):.2f}, "
+                f"{float(runner.precip_debias.max()):.2f}] "
                 f"({args.precip_debias})")
 
     if args.fast_loop:
