@@ -43,6 +43,11 @@ def main():
                     help="run steps excluded (synchronization transient)")
     ap.add_argument("--eps", type=float, default=0.001)
     ap.add_argument("--npz", default="data/precip_bias.npz")
+    ap.add_argument("--validate", nargs="*",
+                    default=["data/hybrid98_run.nc", "data/coupled_run.nc"],
+                    help="independent run NetCDFs scored with the "
+                         "correction applied (host-side, exact output-path "
+                         "arithmetic)")
     args = ap.parse_args()
 
     from scipy.io import netcdf_file
@@ -63,22 +68,23 @@ def main():
 
     # bisection for the per-gridpoint shift: F(d) = mean_t expm1(c-d) is
     # monotone decreasing in d; target = truth mm climatology. The shift is
-    # SIGNED (mean-mapping MOS): wet-biased cells are corrected down,
-    # dry-displaced cells up — the corrected time-mean field reproduces the
-    # truth climatology wherever the free run has any precip signal.
+    # ONE-SIDED (d >= 0): only the wet bias is corrected — a signed
+    # mean-mapping was tried first and rejected, because negative shifts
+    # turn dry-displacement cells into constant drizzle (rain every step)
+    # and a correction calibrated on the annual run then inverts the
+    # tropics/midlatitude contrast on other seasonal windows (measured:
+    # tropics ratio 0.72 on the 98-day window).
     target = truth_mm / args.eps                             # expm1 units
-    lo = np.full(P.shape[1:], -12.0)
+    lo = np.zeros(P.shape[1:])
     hi = np.full(P.shape[1:], 12.0)
-    for _ in range(46):
+    for _ in range(45):
         mid = 0.5 * (lo + hi)
         val = np.expm1(np.maximum(c_run - mid, 0.0)).mean(axis=0)
         hi = np.where(val < target, mid, hi)
         lo = np.where(val < target, lo, mid)
-    debias = 0.5 * (lo + hi)
+    debias = np.maximum(0.5 * (lo + hi), 0.0)
     raw = np.expm1(c_run).mean(axis=0)
-    # no-signal guard: where the run never rains, max(c-d,0) cannot reach
-    # any positive target — leave those cells uncorrected
-    debias[np.abs(raw) < 1e-12] = 0.0
+    debias[raw <= target] = 0.0              # already dry enough: hands off
 
     try:
         old = dict(np.load(args.npz))
@@ -105,6 +111,28 @@ def main():
         "run_mm_day_corrected": round(wmean(run_mm_corr), 3),
         "truth_clim_mm_day": round(wmean(truth_mm) * 4, 3),
     }
+
+    # out-of-window validation (host): apply the field to independent runs
+    # exactly as the output path would, score global mean + tropics ratio
+    lt = np.abs(lat)
+    trop = lt < 15.0
+    midl = (lt > 20.0) & (lt < 50.0)
+    for nc in args.validate:
+        try:
+            g = netcdf_file(nc, "r", mmap=False)
+            Pv = np.asarray(g.variables["p6hr"][:], np.float64)
+            g.close()
+            cv = np.log1p(np.maximum(Pv[args.skip:], 0.0) / eps)
+            mm = eps * np.expm1(np.maximum(cv - debias, 0.0)
+                                ).mean(axis=0) * 4
+            pz = (mm * w[:, None]).mean(axis=1)
+            out[f"validate:{nc}"] = {
+                "global_mm_day": round(wmean(mm), 3),
+                "tropics_ratio": round(
+                    float(pz[trop].mean() / max(pz[midl].mean(), 1e-9)), 3),
+            }
+        except Exception as e:
+            out[f"validate:{nc}"] = repr(e)[:80]
     print(json.dumps(out, indent=1))
     print("PRECIP DEBIAS OK")
 
