@@ -121,6 +121,9 @@ phase data/coupled10y_results.json 5 logs/coupled10y.log \
 [ -e data/coupled10y_climate.json ] || python scripts/score_run.py \
     --nc data/coupled10y_run.nc --out data/coupled10y_climate.json \
     >> logs/coupled10y.log 2>&1
+[ -e data/coupled10y_table.json ] || python scripts/decade_table.py \
+    --nc data/coupled10y_run.nc --out data/coupled10y_table.json \
+    >> logs/coupled10y.log 2>&1
 
 # ---- synthetic-ENSO line (VERDICT r4 Next #2: coupled VARIABILITY) ------
 if [ ! -e data/refscale_enso.npz ]; then
