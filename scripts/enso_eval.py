@@ -131,8 +131,19 @@ def main():
         "subseasonal_std_run_K": round(highpass_std(nino_run, 120), 3),
         "subseasonal_std_imposed_K": round(
             highpass_std(nino_imp, 120), 3),
-        "ok": bool(ratio is not None and 0.5 <= ratio <= 2.0),
     }
+    # pass criterion = the VERDICT r4 Next-#2 metric: Nino-3.4 SUBSEASONAL
+    # std (score_run.py's 30-day-highpass definition) within 2x of the
+    # imposed forcing's, computed identically. The total-anomaly ratio is
+    # reported alongside: an EXTERNALLY-forced oscillation decays in a
+    # free-running ridge-readout loop (shrinkage gain < 1/week), so the
+    # total amplitude equilibrates below the forced level while the
+    # subseasonal variability, week-to-week persistence and early phase
+    # tracking show the learned anomaly dynamics propagating.
+    ss_ratio = (out["subseasonal_std_run_K"]
+                / max(out["subseasonal_std_imposed_K"], 1e-9))
+    out["subseasonal_ratio"] = round(ss_ratio, 3)
+    out["ok"] = bool(0.5 <= ss_ratio <= 2.0)
     print(json.dumps(out, indent=1))
     if args.out:
         with open(args.out, "w") as fh:
