@@ -83,6 +83,16 @@ def main():
     for m in have:
         print(f"  month {m:2d}: {np.nanmean(clim[m - 1]):7.2f} K")
 
+    # mass conservation + drift (total_atmosphere_weight.py /
+    # non_stationary_trends.py capabilities)
+    mass = an.total_atmosphere_mass(pred["logp"], lat)
+    line = f"\ntotal atmosphere mass: mean {mass.mean():.1f} kg/m^2"
+    if T > 10:
+        slope, _ = an.linear_trend(mass, dt=args.dt_hours / 8760.0)
+        line += (f", drift {slope:+.3f} kg/m^2/yr "
+                 f"({slope / mass.mean() * 100:+.4f} %/yr)")
+    print(line)
+
     if "SST" in pred:
         idx = an.nino34_index(pred["SST"], lat, lon, months)
         print(f"\nNino-3.4 index: mean {idx.mean():+.3f} K, "

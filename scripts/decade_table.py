@@ -31,7 +31,8 @@ def main():
 
     from scipy.io import netcdf_file
 
-    from speedyml.utils.analysis import box_mean
+    from speedyml.utils.analysis import (box_mean, linear_trend,
+                                         total_atmosphere_mass)
     from speedyml.utils.climate import JET_LEVELS
 
     files = [netcdf_file(p, "r", mmap=True) for p in args.nc]
@@ -53,6 +54,7 @@ def main():
     years = []
     nino_all = []
     t_low_all = []
+    mass_all = []
     for y in range(n // spy + (1 if n % spy >= spy // 2 else 0)):
         i0, i1 = y * spy, min((y + 1) * spy, n)
         if i1 - i0 < spy // 2:
@@ -67,12 +69,14 @@ def main():
             u = var_at("U-wind", i)
             p = var_at("p6hr", i)
             s = var_at("SST", i)
+            lp = var_at("logp", i)
             t_sum = t if t_sum is None else t_sum + t
             u_sum = u if u_sum is None else u_sum + u
             p_sum = p_sum + p
             s_sum = s_sum + s
             nino.append(box_mean(s, lat, lon, (-5.0, 5.0), (190.0, 240.0)))
             t_low_all.append(float((t[-1] * w[:, None]).mean()))
+            mass_all.append(float(total_atmosphere_mass(lp[None], lat)[0]))
         m = (i1 - i0 + 1) // 2
         t_mean = t_sum / m
         uz = (u_sum / m)[JET_LEVELS].mean(axis=(0, 2))
@@ -103,11 +107,24 @@ def main():
     h = np.arange(len(t_low_all)) * 12.0
     drift = float(np.polyfit(h, t_low_all, 1)[0] * 8760.0) \
         if len(t_low_all) > 10 else None
+    # mass-conservation diagnostic (total_atmosphere_weight.py capability):
+    # trend of area-weighted total mass across the whole run
+    mass_all = np.asarray(mass_all)
+    mass_drift = None
+    if len(mass_all) > 10:
+        slope, _ = linear_trend(mass_all, dt=12.0 / 8760.0)  # per year
+        mass_drift = {
+            "mean_kg_m2": round(float(mass_all.mean()), 1),
+            "drift_kg_m2_per_year": round(float(slope), 3),
+            "drift_pct_per_year": round(
+                float(slope / mass_all.mean() * 100.0), 4),
+        }
     nino_cat = np.concatenate(nino_all) if nino_all else np.empty(0)
     out = {
         "files": args.nc, "steps": int(n), "sim_years": round(n / spy, 2),
         "years": years,
         "t_low_drift_K_per_year": round(drift, 4) if drift else None,
+        "atmosphere_mass": mass_drift,
         "t_low_year1_vs_last": [years[0]["t_low_K"], years[-1]["t_low_K"]]
         if years else None,
         "sst_year1_vs_last": [years[0]["sst_mean_K"],

@@ -175,3 +175,45 @@ def global_total_precip(precip_log: np.ndarray, lat_deg: np.ndarray,
     p = (np.exp(np.asarray(precip_log, np.float64)) - 1.0) * eps
     w = latitude_weights(lat_deg)
     return np.nanmean(p * w[:, None], axis=(-2, -1))
+
+
+def total_atmosphere_mass(logp: np.ndarray, lat_deg: np.ndarray,
+                          g: float = 9.81) -> np.ndarray:
+    """Total atmospheric mass per unit area (kg/m^2) from the model's
+    log-surface-pressure field (scripts/total_atmosphere_weight.py core):
+    area-weighted global-mean ps / g per time step. The ps convention is
+    the training one, ps = exp(logp) * 1000 hPa. A drift in this series
+    over a long free run is a mass-conservation violation of the learned
+    component (SPEEDY itself conserves by construction)."""
+    ps_pa = np.exp(np.asarray(logp, np.float64)) * 1000.0 * 100.0
+    w = latitude_weights(lat_deg)
+    return np.nanmean(ps_pa * w[:, None], axis=(-2, -1)) / g
+
+
+def running_mean(series: np.ndarray, n: int) -> np.ndarray:
+    """Centered moving average over the leading axis, edge-padded to keep
+    length (the reference's moving_average / uniform_filter1d smoothing,
+    scripts/total_atmosphere_weight.py, non_stationary_trends.py)."""
+    series = np.asarray(series, np.float64)
+    if n <= 1:
+        return series
+    pad = n // 2
+    padded = np.pad(series, [(pad, n - 1 - pad)] + [(0, 0)] *
+                    (series.ndim - 1), mode="edge")
+    c = np.cumsum(padded, axis=0, dtype=np.float64)
+    out = (c[n - 1:] - np.concatenate(
+        [np.zeros((1,) + c.shape[1:]), c[:-n]], axis=0)) / n
+    return out[: series.shape[0]]
+
+
+def linear_trend(series: np.ndarray, dt: float = 1.0):
+    """Least-squares linear trend of a (possibly smoothed) global-mean
+    anomaly series (scripts/non_stationary_trends.py capability: detect
+    non-stationary drift in multi-year hybrid runs). Returns
+    (slope_per_time_unit, intercept); `dt` is the sample spacing."""
+    y = np.asarray(series, np.float64)
+    t = np.arange(y.shape[0], dtype=np.float64) * dt
+    tm, ym = t.mean(), y.mean(axis=0)
+    denom = np.sum((t - tm) ** 2)
+    slope = np.tensordot(t - tm, y - ym, axes=(0, 0)) / denom
+    return slope, ym - slope * tm

@@ -126,6 +126,52 @@ class TestExtremesAndPrecip:
         assert f[np.argmax(psd)] == pytest.approx(1.0 / 16.0, rel=0.1)
 
 
+class TestMassAndTrends:
+    def test_total_atmosphere_mass_isobaric(self):
+        # uniform ps = 1000 hPa -> mass = 1e5 Pa / g everywhere
+        lat = np.linspace(-87, 87, 48)
+        logp = np.zeros((3, 48, 96))
+        m = an.total_atmosphere_mass(logp, lat)
+        np.testing.assert_allclose(m, 1e5 / 9.81, rtol=1e-12)
+
+    def test_total_atmosphere_mass_area_weighting(self):
+        # a ps bump at the pole must move the global mean less than the
+        # same bump at the equator
+        lat = np.linspace(-87, 87, 48)
+        base = np.zeros((1, 48, 96))
+        pole, eq = base.copy(), base.copy()
+        pole[0, -1] = 0.01
+        eq[0, 24] = 0.01
+        dm_pole = an.total_atmosphere_mass(pole, lat)[0]
+        dm_eq = an.total_atmosphere_mass(eq, lat)[0]
+        ref = an.total_atmosphere_mass(base, lat)[0]
+        assert dm_eq - ref > 3 * (dm_pole - ref) > 0
+
+    def test_running_mean_preserves_length_and_smooths(self):
+        rng = np.random.default_rng(0)
+        x = np.sin(np.arange(200) / 10.0) + 0.1 * rng.standard_normal(200)
+        s = an.running_mean(x, 11)
+        assert s.shape == x.shape
+        assert np.std(np.diff(s)) < np.std(np.diff(x))
+        # a constant series is a fixed point regardless of n parity
+        np.testing.assert_allclose(an.running_mean(np.full(50, 3.0), 10),
+                                   3.0)
+
+    def test_linear_trend_recovers_slope(self):
+        t = np.arange(100, dtype=np.float64)
+        y = 2.5 * (t * 0.25) + 1.0     # slope 2.5 per time unit, dt=0.25
+        slope, intercept = an.linear_trend(y, dt=0.25)
+        assert slope == pytest.approx(2.5, rel=1e-12)
+        assert intercept == pytest.approx(1.0, abs=1e-9)
+
+    def test_linear_trend_vectorized_over_trailing_axes(self):
+        t = np.arange(60, dtype=np.float64)
+        y = np.stack([0.5 * t, -1.0 * t + 4.0], axis=1)
+        slope, intercept = an.linear_trend(y)
+        np.testing.assert_allclose(slope, [0.5, -1.0], rtol=1e-12)
+        np.testing.assert_allclose(intercept, [0.0, 4.0], atol=1e-9)
+
+
 class TestAnalyzeForecastCli:
     def test_cli_end_to_end(self, tmp_path):
         """scripts/analyze_forecast.py runs against ForecastWriter output
@@ -161,4 +207,51 @@ class TestAnalyzeForecastCli:
         assert out.returncode == 0, out.stderr
         assert "RMS vs truth" in out.stdout
         assert "T @ 500 hPa" in out.stdout
+        assert "total atmosphere mass" in out.stdout
         assert "Nino-3.4 index" in out.stdout
+
+
+class TestDecadeTableCli:
+    def test_per_year_table_and_mass_drift(self, tmp_path):
+        """scripts/decade_table.py emits per-year rows plus the
+        mass-conservation drift (total_atmosphere_weight.py capability)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        from speedyml.io.output import ForecastWriter
+
+        rng = np.random.default_rng(2)
+        lat = np.linspace(-87, 87, 48)
+        lon = np.arange(0, 360, 3.75)
+        path = str(tmp_path / "run.nc")
+        n = 48
+        with ForecastWriter(path, 8, 48, 96, lat=lat, lon=lon,
+                            with_sst=True) as w:
+            for i in range(n):
+                atmo = np.stack([
+                    np.full((8, 48, 96), 260.0),
+                    rng.standard_normal((8, 48, 96)),
+                    rng.standard_normal((8, 48, 96)),
+                    np.abs(rng.standard_normal((8, 48, 96)))])
+                # small secular ps trend -> nonzero mass drift
+                w.append(atmo, np.full((48, 96), 1e-4 * i, np.float32),
+                         precip_mm=np.abs(rng.standard_normal((48, 96))),
+                         sst=np.full((48, 96), 300.0))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out_json = str(tmp_path / "table.json")
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "decade_table.py"),
+             "--nc", path, "--steps-per-year", "16", "--out", out_json],
+            capture_output=True, text=True, timeout=180)
+        assert r.returncode == 0, r.stderr
+        assert "DECADE TABLE OK" in r.stdout
+        with open(out_json) as f:
+            tab = json.load(f)
+        assert len(tab["years"]) == 3
+        assert tab["atmosphere_mass"] is not None
+        assert tab["atmosphere_mass"]["drift_kg_m2_per_year"] > 0
+        assert tab["atmosphere_mass"]["mean_kg_m2"] == pytest.approx(
+            1e5 / 9.81, rel=0.01)
