@@ -131,9 +131,17 @@ def bench_dry_core(cfg_dtype="float32", grid_compute="float32",
     return best, best_ens
 
 
-def _random_hm(L, rcfg, m=6000, deg=6):
-    """HybridModel with random reference-scale parameters + identity stats
-    (timing-only: real shapes, sparsity, and production circulant topology)."""
+def _random_hm(L, rcfg, m=6000, deg=6, gv=None):
+    """HybridModel with random reference-scale parameters (timing-only:
+    real shapes, sparsity, and production circulant topology).
+
+    When `gv` (a packed global state vector from the real initial state) is
+    given, the standardizer is anchored to it — out_mean is the physical
+    state and the tiny random readout perturbs around it — so closed-loop
+    programs (fastloop) stay inside the safety bounds and time the full
+    steady-state production loop instead of aborting a few steps in. The
+    compiled program and all shapes are identical either way; only constant
+    values differ (r5: post-wipe bench recorded fastloop_aborted=true)."""
     import jax.numpy as jnp
 
     from speedyml.domain.standardize import Standardizer
@@ -151,15 +159,39 @@ def _random_hm(L, rcfg, m=6000, deg=6):
         a_idx=jnp.asarray(np.broadcast_to(a_idx, (R, n, deg)), jnp.int32),
         a_val=jnp.asarray(rng.normal(size=(R, n, deg)) * 0.05, jnp.float32),
         win=jnp.asarray(rng.uniform(-0.5, 0.5, size=(R, n)), jnp.float32),
-        wout=jnp.asarray(rng.normal(size=(R, n_out, na)) * 1e-3, jnp.float32),
+        # 1e-4: keeps the closed-loop readout perturbation ~0.01 sigma per
+        # step (timing is content-independent; stability is not)
+        wout=jnp.asarray(rng.normal(size=(R, n_out, na)) * 1e-4, jnp.float32),
         node_map=jnp.asarray(np.arange(n) // (n // n_in), jnp.int32),
         leakage=1.0,
         a_shift=jnp.asarray(shifts))
-    stz = Standardizer(
-        in_mean=jnp.zeros((R, n_in), jnp.float32),
-        in_std=jnp.ones((R, n_in), jnp.float32),
-        out_mean=jnp.zeros((R, n_out), jnp.float32),
-        out_std=jnp.ones((R, n_out), jnp.float32))
+    if gv is None:
+        stz = Standardizer(
+            in_mean=jnp.zeros((R, n_in), jnp.float32),
+            in_std=jnp.ones((R, n_in), jnp.float32),
+            out_mean=jnp.zeros((R, n_out), jnp.float32),
+            out_std=jnp.ones((R, n_out), jnp.float32))
+    else:
+        gv = np.asarray(gv, np.float64)
+        # per-element std from per-SECTION physical scales (a snapshot has
+        # no variability; a uniform floor puts ~0.05 kg/kg of noise in q
+        # and 60-sigma precip entries in mv — both trip the window's
+        # safety flag). atmo3d is var-major blocks of kx*ngp (decomposition
+        # gv layout): T,u,v 5 (6-h tendency scale), q 1e-3.
+        gv_std = np.empty(L.gv_len)
+        a0, _ = L.gv_sizes["atmo3d"]
+        blk = L.kx * L.il * L.ix
+        for v, sd in enumerate((5.0, 5.0, 5.0, 1e-3)):
+            gv_std[a0 + v * blk:a0 + (v + 1) * blk] = sd
+        for name, sd in (("logp", 0.01), ("precip", 1.0), ("sst", 1.0),
+                         ("tisr", 50.0), ("ohtc", 1.0)):
+            s0, s1 = L.gv_sizes.get(name, (0, 0))
+            gv_std[s0:s1] = sd
+        stz = Standardizer(
+            in_mean=jnp.asarray(gv[L.input_index], jnp.float32),
+            in_std=jnp.asarray(gv_std[L.input_index], jnp.float32),
+            out_mean=jnp.asarray(gv[L.target_index], jnp.float32),
+            out_std=jnp.asarray(gv_std[L.target_index], jnp.float32))
     return HybridModel(layout=L, params=params, stz=stz, rcfg=rcfg,
                        ml_only=False)
 
@@ -196,8 +228,18 @@ def _speedy_and_hm(grid_compute="float32", force_random=False):
                 print(f"# weights load failed ({e!r}); random params",
                       file=sys.stderr)
         if hm is None or hm.ml_only:
+            import jax.numpy as jnp
+
+            from speedyml.domain.decomposition import pack_global
             L = build_layout(radang_deg=radang_deg)
-            hm = _random_hm(L, ReservoirConfig())
+            atmo = jnp.stack([gs0.t, gs0.u, gs0.v,
+                              jnp.maximum(gs0.q, 1e-6)])
+            zero2d = jnp.zeros((cfg.il, cfg.ix), jnp.float32)
+            gv0 = pack_global(
+                L, atmo, gs0.logp, zero2d,
+                jnp.asarray(np.asarray(sp.coupler.sst_am), jnp.float32),
+                zero2d + 300.0)
+            hm = _random_hm(L, ReservoirConfig(), gv=np.asarray(gv0))
         _CACHE[key] = (hm, trained)
     return sp, _CACHE[key][0], _CACHE[key][1], gs0
 
